@@ -1,0 +1,152 @@
+"""Default config tree.
+
+Option-for-option coverage of the reference schema
+(`/root/reference/src/configs/mucon/default.py`, `src/core/config.py`) plus a
+``tpu`` subtree for the TPU-native capabilities the reference does not have
+(padded batching, bf16 compute, device mesh, Pallas kernel toggles).
+"""
+
+import os
+
+from mucon_tpu.config.node import ConfigNode
+
+
+def get_cfg_defaults() -> ConfigNode:
+    _C = ConfigNode()
+    _C.experiment_name = "mucon_default"
+
+    # -- system (reference: src/core/config.py:16-18) ------------------------
+    _C.system = ConfigNode()
+    _C.system.device = "tpu"  # "tpu" | "cpu" — jax platform preference
+    _C.system.num_workers = 2  # host-side prefetch threads
+    _C.system.seed = 1
+
+    # -- dataset (reference: src/core/config.py:5-12) -----------------------
+    _C.dataset = ConfigNode()
+    _C.dataset.root = os.path.expanduser("~/work/MuCon/datasets")
+    _C.dataset.name = "breakfast"  # "breakfast" | "synthetic"
+    _C.dataset.feat_name = "i3d"
+    _C.dataset.mapping_file_name = "mapping.txt"
+    _C.dataset.split = 1
+    _C.dataset.mixed = ConfigNode()
+    _C.dataset.mixed.full_supervision_percentage = 50.0
+    # synthetic dataset knobs (used when dataset.name == "synthetic";
+    # lets tests/benchmarks run without Breakfast on disk)
+    _C.dataset.synthetic = ConfigNode()
+    _C.dataset.synthetic.num_videos = 32
+    _C.dataset.synthetic.num_classes = 48
+    _C.dataset.synthetic.feat_dim = 2048
+    _C.dataset.synthetic.min_len = 256
+    _C.dataset.synthetic.max_len = 2048
+    _C.dataset.synthetic.seed = 0
+
+    # -- trainer (reference: src/configs/mucon/default.py:13-38) ------------
+    _C.trainer = ConfigNode()
+    _C.trainer.root = os.path.expanduser("~/work/MuCon/root")
+    _C.trainer.num_epochs = 150
+    _C.trainer.clip_grad_norm = True
+    _C.trainer.clip_grad_norm_separate = True  # encoder/decoder clipped apart
+    _C.trainer.clip_grad_norm_every_param = False
+    _C.trainer.clip_grad_norm_value = 100.0
+    _C.trainer.optimizer = "SGD"  # "SGD" | "Adam" (amsgrad)
+    _C.trainer.learning_rate = 0.01
+    _C.trainer.momentum = 0.0
+    _C.trainer.weight_decay = 0.005
+    _C.trainer.accumulate_grad_every = 1
+    _C.trainer.scheduler = ConfigNode()
+    _C.trainer.scheduler.name = "step"  # "none" | "plateau" | "step"
+    _C.trainer.scheduler.plateau = ConfigNode()
+    _C.trainer.scheduler.plateau.mode = "max"
+    _C.trainer.scheduler.plateau.factor = 0.1
+    _C.trainer.scheduler.plateau.verbose = True
+    _C.trainer.scheduler.plateau.patience = 20
+    _C.trainer.scheduler.step = ConfigNode()
+    _C.trainer.scheduler.step.milestones = [70]
+    _C.trainer.scheduler.step.gamma = 0.1
+    _C.trainer.save_every = 5
+    _C.trainer.eval_every = 1
+
+    # -- evaluator (reference: src/configs/mucon/default.py:40-42) ----------
+    _C.evaluator = ConfigNode()
+    _C.evaluator.viterbi = ConfigNode()
+    _C.evaluator.viterbi.multi_length = False
+    _C.evaluator.viterbi.frame_sampling = 30
+    # "device" = batched dense DP on TPU (fast path);
+    # "host" = numpy hypothesis DP (reference-semantics oracle)
+    _C.evaluator.viterbi.backend = "device"
+
+    # -- model (reference: src/configs/mucon/default.py:44-117) -------------
+    _C.model = ConfigNode()
+    _C.model.teacher_forcing = True
+    _C.model.name = "mucon"
+    _C.model.first_gru_hidden_size = 128  # kept for schema parity (unused)
+
+    _C.model.loss = ConfigNode()
+    _C.model.loss.mul_mucon = 1.0
+    _C.model.loss.mul_transcript = 1.0
+    _C.model.loss.mul_smoothing = 0.1
+    _C.model.loss.mul_length = 0.1
+    _C.model.loss.length_width = 2.0
+    _C.model.loss.transcript_average = False
+    _C.model.loss.mucon_weight_background = False
+    _C.model.loss.mucon_weight_background_value = 0.5
+    _C.model.loss.mucon_weight_background_index = 0
+    _C.model.loss.transcript_weight_background = False
+    _C.model.loss.transcript_weight_background_value = 0.5
+    _C.model.loss.transcript_weight_background_index = 0
+    _C.model.loss.fully_supervised = ConfigNode()
+    _C.model.loss.fully_supervised.mul_classification = 1.0
+    _C.model.loss.fully_supervised.mul_supervised_length = 1.0
+    _C.model.loss.smoothing = ConfigNode()
+    _C.model.loss.smoothing.log_softmax_before = True
+    _C.model.loss.smoothing.clamp = True
+    _C.model.loss.smoothing.clamp_min = 0
+    _C.model.loss.smoothing.clamp_max = 16
+    _C.model.loss.mucon = ConfigNode()
+    _C.model.loss.mucon.type = "flint"  # "flint" | "arithmetic"
+    _C.model.loss.mucon.template = "box"  # "box" | "gaussian" | "trapezoid"
+    _C.model.loss.mucon.overlap = 0.0
+
+    _C.model.ft = ConfigNode()
+    _C.model.ft.type = "wavenet"  # "wavenet" | "mstcnpp" | "noft"
+    _C.model.ft.stages = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
+    _C.model.ft.pooling = True
+    _C.model.ft.pooling_type = "max"  # "max" | "sum" (avg*2)
+    _C.model.ft.pooling_layers = [1, 2, 4, 8]
+    _C.model.ft.hidden_size = 128
+    _C.model.ft.dropout_rate = 0.25
+    _C.model.ft.leaky_relu = False
+    _C.model.ft.last_gn = True
+    _C.model.ft.last_gn_num_groups = 32
+    _C.model.ft.last_relu = True
+    _C.model.ft.last_dropout = True
+    _C.model.ft.last_dropout_rate = 0.25
+
+    _C.model.fs = ConfigNode()
+    _C.model.fs.jit_no_reverse = True  # schema parity (unused)
+    _C.model.fs.encoder = ConfigNode()
+    _C.model.fs.encoder.hidden_size = 128
+    _C.model.fs.encoder.bidirectional = True
+    _C.model.fs.encoder.dropout = 0.0
+    _C.model.fs.decoder = ConfigNode()
+    _C.model.fs.decoder.embedding_dim = 128
+    _C.model.fs.decoder.embedding_dropout = 0.25
+    _C.model.fs.decoder.hidden_size = 128
+    _C.model.fs.decoder.num_layers = 1
+    _C.model.fs.decoder.dropout = 0.0
+
+    _C.model.fc = ConfigNode()
+
+    # -- tpu-native knobs (new capability; no reference equivalent) ---------
+    _C.tpu = ConfigNode()
+    _C.tpu.batch_size = 1  # videos per device step (reference is fixed 1)
+    _C.tpu.pad_multiple = 512  # time padding granularity (must be %16==0)
+    _C.tpu.max_frames = 8192  # bucket ceiling for padded batches
+    _C.tpu.compute_dtype = "float32"  # "float32" | "bfloat16"
+    _C.tpu.use_pallas = False  # fused Pallas kernels for hot ops
+    _C.tpu.mesh = ConfigNode()
+    _C.tpu.mesh.data = -1  # -1: all devices on the data axis
+    _C.tpu.mesh.seq = 1  # sequence-parallel axis (halo-exchange conv)
+    _C.tpu.remat = False  # jax.checkpoint the encoder stack
+
+    return _C

@@ -1,0 +1,122 @@
+"""Differentiable segment masks for the mutual-consistency loss.
+
+The reference builds per-segment soft masks by affine-warping a length-100
+template through a spatial transformer (``affine_grid`` + ``grid_sample``,
+`/root/reference/src/mucon/masks.py:19-74`) so that mask placement is
+differentiable w.r.t. the predicted lengths.  On TPU the same map has a
+closed form: for output frame t and segment i, the warp samples the template
+at a coordinate that is an affine function of (t, start_i, len_i), and the
+bilinear template lookup is simple algebra.  We compute it directly — fully
+vectorized [N x T], differentiable, and fusable by XLA into the masked-mean
+reduction of the loss (no gather/scatter, no host template).
+
+Numerics match torch-1.1 STN semantics (align_corners=True) bit-closely; see
+tests/test_masks.py which uses torch as an oracle.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TEMPLATE_WIDTH = 100
+
+_TEMPLATES = ("box", "gaussian", "trapezoid")
+
+
+def project_lengths_softmax(T, L, valid_mask=None):
+    """T * softmax(L)  (reference: masks.py:8-15).
+
+    ``valid_mask`` ([N] bool) restricts the softmax to real (unpadded)
+    segments; padded entries get length 0.
+    """
+    if valid_mask is None:
+        return T * jax.nn.softmax(L, axis=-1)
+    logits = jnp.where(valid_mask, L, -jnp.inf)
+    return T * jax.nn.softmax(logits, axis=-1)
+
+
+def _gaussian_template() -> np.ndarray:
+    # scipy.signal.gaussian(M=100, std=M/5): w(n) = exp(-n^2 / (2 std^2)),
+    # n = k - (M-1)/2.  Computed here directly to avoid a scipy runtime dep.
+    m = TEMPLATE_WIDTH
+    std = m / 5.0
+    n = np.arange(m, dtype=np.float64) - (m - 1) / 2.0
+    return np.exp(-(n ** 2) / (2.0 * std ** 2)).astype(np.float32)
+
+
+def _trapezoid_template() -> np.ndarray:
+    # reference: masks.py:44-54 — ramps 0.5->1 over the first 25 template
+    # pixels and 1->0.5 over the last 25, flat 1.0 in between.
+    m = TEMPLATE_WIDTH
+    w1 = m / 2.0
+    min_val = 0.5
+    tmpl = np.ones(m, dtype=np.float64)
+    ramp = int(w1 / 2)  # 25
+    step = (1.0 - min_val) / (w1 / 2)
+    tmpl[:ramp] = np.arange(ramp) * step + min_val
+    tmpl[-ramp:] = 1.0 + np.arange(ramp) * (-step)
+    return tmpl.astype(np.float32)
+
+
+def template_values(template: str) -> np.ndarray:
+    """The 100-wide 1-D template the STN would warp."""
+    if template == "box":
+        return np.ones(TEMPLATE_WIDTH, dtype=np.float32)
+    if template == "gaussian":
+        return _gaussian_template()
+    if template == "trapezoid":
+        return _trapezoid_template()
+    raise NameError(f"Invalid template name ({template})")
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("template",))
+def create_masks(T: int, L, overlap: float = 0.0, template: str = "box"):
+    """Build [N x T] soft segment masks from absolute lengths.
+
+    Closed-form equivalent of the reference's STN warp (masks.py:19-74):
+
+    * segment starts  p_i = cumsum(L)_i - L_i
+    * overlap widening: L <- L * (1 + 2*overlap); p <- p - L*(overlap/2)
+    * per frame t (align_corners=True output grid g_t = -1 + 2t/(T-1)):
+        u_i(t) = (T / L_i) * g_t - (p_i + L_i/2 - T/2) / (L_i / 2)
+        c_i(t) = (u + 1) / 2 * (W - 1)          # template pixel coordinate
+        mask   = bilinear(template, c)           # zeros outside [-1, W]
+    """
+    L = jnp.asarray(L, jnp.float32)
+    n = L.shape[0]
+
+    pis = jnp.cumsum(L) - L
+    L = L * (1.0 + 2.0 * overlap)
+    pis = pis - L * (overlap / 2.0)
+
+    s = T / L  # normalized scale (masks.py:102-103)
+    x = -(pis + L / 2.0 - T / 2.0) / (L / 2.0)  # normalized loc (masks.py:107-120)
+
+    # output grid, torch-1.1 affine_grid semantics (align_corners=True)
+    g = jnp.linspace(-1.0, 1.0, T, dtype=jnp.float32)  # [T]
+    u = s[:, None] * g[None, :] + x[:, None]  # [N x T]
+    c = (u + 1.0) * 0.5 * (TEMPLATE_WIDTH - 1)  # template pixel coords
+
+    if template == "box":
+        # bilinear sample of an all-ones template with zero padding:
+        # ramps linearly over one template pixel at each edge.
+        out = jnp.clip(jnp.minimum(c + 1.0, TEMPLATE_WIDTH - c), 0.0, 1.0)
+        # exact zero outside the (-1, W) support, as grid_sample gives
+        out = jnp.where((c <= -1.0) | (c >= TEMPLATE_WIDTH), 0.0, out)
+        return out
+
+    tmpl = jnp.asarray(template_values(template))
+    i0 = jnp.floor(c)
+    f = c - i0
+    i0i = i0.astype(jnp.int32)
+
+    def lookup(idx):
+        v = tmpl[jnp.clip(idx, 0, TEMPLATE_WIDTH - 1)]
+        return jnp.where((idx < 0) | (idx > TEMPLATE_WIDTH - 1), 0.0, v)
+
+    v0 = lookup(i0i)
+    v1 = lookup(i0i + 1)
+    out = (1.0 - f) * v0 + f * v1
+    return jnp.where((c <= -1.0) | (c >= TEMPLATE_WIDTH), 0.0, out)
