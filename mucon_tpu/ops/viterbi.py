@@ -1,0 +1,268 @@
+"""Dense single-transcript Viterbi decoding on TPU.
+
+The reference decodes with a Python hypothesis-dict DP on the host
+(`/root/reference/src/core/viterbi/viterbi.py`), which is the slowest part
+of its evaluation.  For the README flow the grammar is always a
+`SingleTranscriptGrammar` (evaluators.py:148-150), so the hypothesis space
+is EXACTLY (position-in-transcript n, current-segment length l): a dense
+[N x L] table.  The unbounded dict DP becomes a fixed-shape `jax.lax.scan`
+over strided frame windows with max-reductions — vmappable over a batch of
+videos and fully on-device.  Traceback pointers (the argmax segment length
+at each transition) stream out of the scan; the cheap O(K) walk happens on
+host in numpy.
+
+Score semantics are bit-matched to the reference DP (including the
+old-label window attribution on transitions and the remainder-placement
+quirk — see mucon_tpu/decode/viterbi_host.py's docstring).  Parity is
+enforced by tests/test_viterbi.py against the host oracle.
+
+Precision note: window scores are computed by summing each window's frames
+directly (reshape + sum) rather than by cumulative-sum differences — same
+math, better f32 conditioning on 10k+-frame videos.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mucon_tpu.decode.length_model import poisson_log_table
+from mucon_tpu.decode.viterbi_host import Segment
+
+NEG = -1e30  # -inf stand-in that survives f32 arithmetic
+
+
+@dataclass
+class DenseDecodeResult:
+    score: float
+    labels: np.ndarray  # [T] framewise labels
+    segments: List[Segment]
+
+
+def _poisson_rows(lam, lengths):
+    """log Poisson(l; lam) with the reference's renormalization quirk
+    (length_model.py:51-71): norm uses round(lam) except the factorial term
+    which truncates.  lam: [...], lengths: [L] -> [..., L]."""
+    lam = lam.astype(jnp.float32)
+    r = jnp.round(lam)
+    norms = r * jnp.log(r) - r - jax.lax.lgamma(jnp.floor(lam) + 1.0)
+    lengths = lengths.astype(jnp.float32)
+    logfak = jax.lax.lgamma(lengths + 1.0)
+    out = (
+        lengths * jnp.log(lam)[..., None]
+        - lam[..., None]
+        - logfak
+        - norms[..., None]
+    )
+    return jnp.where(lengths > 0, out, NEG)
+
+
+@partial(jax.jit, static_argnames=("frame_sampling", "max_len", "n_max", "l_max"))
+def _dense_viterbi_scan(
+    log_probs,  # [T_pad x M] framewise log-probs
+    t_valid,  # [] int32: true frame count
+    transcript,  # [n_max] int32 (padded)
+    n_valid,  # [] int32: true transcript length
+    class_lambdas,  # [M] float32 per-class Poisson means
+    *,
+    frame_sampling: int,
+    max_len: int,
+    n_max: int,
+    l_max: int,
+):
+    """Core fixed-shape DP. Returns (final_score, best_final_len_idx,
+    backptr [K x n_max], n_windows)."""
+    S = frame_sampling
+    T_pad, M = log_probs.shape
+    K = T_pad // S  # static window count upper bound
+    k_valid = t_valid // S  # true window count
+
+    # per-window per-class scores: [K x M]
+    wsum = jnp.sum(log_probs[: K * S].reshape(K, S, M), axis=1)
+    # gathered per transcript position: [K x n_max]
+    W = wsum[:, jnp.clip(transcript, 0, M - 1)]
+
+    # Poisson length scores per (position, length-bucket): [n_max x l_max]
+    lens = (jnp.arange(l_max) + 1) * S  # lengths in frames: S..l_max*S
+    lam = class_lambdas[jnp.clip(transcript, 0, M - 1)]  # [n_max]
+    pois = _poisson_rows(lam, lens)  # [n_max x l_max]
+    pois = jnp.where(lens[None, :] < max_len, pois, NEG)
+
+    n_ids = jnp.arange(n_max)
+    valid_n = n_ids < n_valid  # [n_max]
+
+    # init: window 0 in state (n=0, l=1)
+    init = jnp.full((n_max, l_max), NEG, jnp.float32)
+    init = init.at[0, 0].set(W[0, 0])
+
+    stay_ok = (jnp.arange(l_max) + 1 + 1) * S <= max_len  # can we grow to l+1?
+
+    def step(scores, k):
+        w_k = W[k]  # [n_max]
+        # stay: (n, l) -> (n, l+1)
+        grown = jnp.full_like(scores, NEG)
+        grown = grown.at[:, 1:].set(
+            jnp.where(stay_ok[:-1][None, :], scores[:, :-1], NEG)
+        )
+        grown = grown + w_k[:, None]
+        # advance: (n-1, l) -> (n, 1); window + length scores use OLD label
+        exit_best = jnp.max(scores + pois, axis=1)  # [n_max]
+        exit_arg = jnp.argmax(scores + pois, axis=1)  # [n_max]
+        adv = jnp.full((n_max,), NEG)
+        adv = adv.at[1:].set(exit_best[:-1] + w_k[:-1])
+        adv = jnp.where(valid_n, adv, NEG)
+        bp = jnp.zeros((n_max,), jnp.int32).at[1:].set(exit_arg[:-1])
+
+        # stay can never produce l=1, so the l=1 slot is advance-only
+        new_scores = grown.at[:, 0].set(adv)
+        new_scores = jnp.where(valid_n[:, None], new_scores, NEG)
+        # windows at/after the video end don't change the state
+        live = k < k_valid
+        out = jnp.where(live, new_scores, scores)
+        return out, bp
+
+    ks = jnp.arange(1, K) if K > 1 else jnp.zeros((0,), jnp.int32)
+    final_scores, bps = jax.lax.scan(step, init, ks)
+
+    # finalize: only the last transcript position may emit END
+    last_n = jnp.clip(n_valid - 1, 0, n_max - 1)
+    fin = final_scores[last_n] + pois[last_n]  # [l_max]
+    best_l = jnp.argmax(fin)
+    best_score = fin[best_l]
+    return best_score, best_l, bps, k_valid
+
+
+def dense_viterbi_decode(
+    log_probs: np.ndarray,
+    transcript: List[int],
+    class_lambdas: np.ndarray,
+    frame_sampling: int = 30,
+    max_len: int = 2000,
+    n_max: int | None = None,
+    t_pad: int | None = None,
+) -> DenseDecodeResult:
+    """Decode one video. See `dense_viterbi_decode_batch` for the batched path."""
+    n = len(transcript)
+    n_max = n_max or n
+    padded = list(transcript) + [0] * (n_max - n)
+    res = dense_viterbi_decode_batch(
+        log_probs[None],
+        np.array([log_probs.shape[0]]),
+        np.array([padded]),
+        np.array([n]),
+        np.asarray(class_lambdas)[None],
+        frame_sampling=frame_sampling,
+        max_len=max_len,
+        t_pad=t_pad,
+    )
+    return res[0]
+
+
+def dense_viterbi_decode_batch(
+    log_probs,  # [B x T_pad x M]
+    t_valid,  # [B]
+    transcripts,  # [B x n_max]
+    n_valid,  # [B]
+    class_lambdas,  # [B x M]
+    frame_sampling: int = 30,
+    max_len: int = 2000,
+    t_pad: int | None = None,
+) -> List[DenseDecodeResult]:
+    """Batched dense decode: device scan + host traceback walk."""
+    log_probs = np.asarray(log_probs, np.float32)
+    B, T, M = log_probs.shape
+    if t_pad is not None and t_pad > T:
+        log_probs = np.pad(log_probs, ((0, 0), (0, t_pad - T), (0, 0)))
+        T = t_pad
+    S = frame_sampling
+    n_max = transcripts.shape[1]
+    l_max = max_len // S  # largest l with stay-reachable length l*S <= max_len
+
+    fn = jax.vmap(
+        partial(
+            _dense_viterbi_scan,
+            frame_sampling=S,
+            max_len=max_len,
+            n_max=n_max,
+            l_max=l_max,
+        )
+    )
+    score, best_l, bps, k_valid = jax.device_get(
+        fn(
+            jnp.asarray(log_probs),
+            jnp.asarray(t_valid, jnp.int32),
+            jnp.asarray(transcripts, jnp.int32),
+            jnp.asarray(n_valid, jnp.int32),
+            jnp.asarray(class_lambdas, jnp.float32),
+        )
+    )
+
+    results = []
+    for b in range(B):
+        results.append(
+            _host_traceback(
+                int(t_valid[b]),
+                list(np.asarray(transcripts[b][: int(n_valid[b])])),
+                float(score[b]),
+                int(best_l[b]),
+                bps[b],
+                int(k_valid[b]),
+                S,
+            )
+        )
+    return results
+
+
+def _host_traceback(
+    n_frames: int,
+    transcript: List[int],
+    score: float,
+    best_l: int,
+    bps: np.ndarray,  # [K-1 x n_max]; row i corresponds to window i+1
+    k_valid: int,
+    S: int,
+) -> DenseDecodeResult:
+    """Walk the argmax pointers back into framewise labels + segments,
+    reproducing the reference traceback semantics (incl. remainder quirk)."""
+    N = len(transcript)
+    # position per window, walked newest -> oldest
+    n = N - 1
+    l = best_l + 1  # 1-based segment length in windows
+    pos_rev = []  # transcript position of each window, newest first
+    for k in range(k_valid - 1, 0, -1):
+        pos_rev.append(n)
+        if l > 1:
+            l -= 1
+        else:
+            new_n = n - 1
+            l = int(bps[k - 1, n]) + 1  # bps row k-1 <-> window k
+            n = new_n
+    pos_rev.append(max(n, 0))  # window 0
+    positions = list(reversed(pos_rev))  # oldest first
+
+    window_labels = [transcript[min(max(p, 0), N - 1)] for p in positions]
+    remainder = n_frames - k_valid * S
+
+    # labels: remainder frames carry the newest label, placed FIRST
+    labels = [window_labels[-1]] * remainder
+    for wl in window_labels:
+        labels.extend([wl] * S)
+
+    # segments: consecutive windows at the same position; remainder length
+    # is added to the final segment
+    segments: List[Segment] = []
+    for p, wl in zip(positions, window_labels):
+        if segments and p == prev_p:  # noqa: F821
+            segments[-1].length += S
+        else:
+            segments.append(Segment(wl, S))
+        prev_p = p
+    if segments:
+        segments[-1].length += remainder
+
+    return DenseDecodeResult(score=score, labels=np.array(labels), segments=segments)

@@ -1,0 +1,121 @@
+"""Viterbi parity: dense TPU DP vs the host hypothesis-DP oracle."""
+
+import numpy as np
+import pytest
+
+from mucon_tpu.decode.grammar import (
+    ModifiedPathGrammar,
+    SingleTranscriptGrammar,
+)
+from mucon_tpu.decode.length_model import PoissonModel, poisson_log_table
+from mucon_tpu.decode.viterbi_host import ViterbiDecoder
+from mucon_tpu.ops.viterbi import dense_viterbi_decode
+
+
+def _random_problem(rng, T, M, N):
+    log_probs = np.log(
+        rng.dirichlet(np.ones(M) * 0.3, size=T).astype(np.float64) + 1e-8
+    )
+    transcript = [int(x) for x in rng.randint(0, M, size=N)]
+    lam = np.ones(M)
+    for c in transcript:
+        lam[c] = rng.uniform(20, T / max(N, 1) * 1.5)
+    return log_probs.astype(np.float32), transcript, lam
+
+
+def _host_decode(log_probs, transcript, lam, S=30):
+    vd = ViterbiDecoder(
+        SingleTranscriptGrammar(transcript, log_probs.shape[1]),
+        PoissonModel(lam),
+        frame_sampling=S,
+    )
+    return vd.decode(np.asarray(log_probs, np.float64))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_dense_matches_host(seed):
+    rng = np.random.RandomState(seed)
+    T = int(rng.randint(400, 1200))
+    M, N = 12, int(rng.randint(2, 7))
+    log_probs, transcript, lam = _random_problem(rng, T, M, N)
+
+    h_score, h_labels, h_segs = _host_decode(log_probs, transcript, lam)
+    d = dense_viterbi_decode(log_probs, transcript, lam, frame_sampling=30)
+
+    assert np.isfinite(h_score)
+    np.testing.assert_allclose(d.score, h_score, rtol=2e-4, atol=2e-3)
+    assert list(d.labels) == list(h_labels)
+    assert [(s.label, s.length) for s in d.segments] == [
+        (s.label, s.length) for s in h_segs
+    ]
+
+
+def test_dense_matches_host_long_video():
+    rng = np.random.RandomState(42)
+    T, M, N = 5000, 20, 9
+    log_probs, transcript, lam = _random_problem(rng, T, M, N)
+    h_score, h_labels, _ = _host_decode(log_probs, transcript, lam)
+    d = dense_viterbi_decode(log_probs, transcript, lam, frame_sampling=30)
+    np.testing.assert_allclose(d.score, h_score, rtol=2e-4, atol=5e-3)
+    mismatch = np.mean(np.asarray(d.labels) != np.asarray(h_labels))
+    assert mismatch == 0.0
+
+
+def test_dense_with_padding_invariance():
+    # padded frames must not affect the decode
+    rng = np.random.RandomState(5)
+    T, M, N = 700, 10, 4
+    log_probs, transcript, lam = _random_problem(rng, T, M, N)
+    d1 = dense_viterbi_decode(log_probs, transcript, lam, frame_sampling=30)
+    d2 = dense_viterbi_decode(
+        log_probs, transcript, lam, frame_sampling=30, t_pad=1024, n_max=12
+    )
+    assert d1.score == pytest.approx(d2.score, rel=1e-5)
+    assert list(d1.labels) == list(d2.labels)
+
+
+def test_remainder_quirk_reproduced():
+    # T not divisible by frame_sampling: remainder frames carry the LAST
+    # label but are placed FIRST (reference viterbi.py:140-158)
+    rng = np.random.RandomState(9)
+    T, M = 95, 5  # S=30 -> 3 windows + 5 remainder frames
+    log_probs = np.full((T, M), -5.0, np.float32)
+    log_probs[:30, 0] = -0.1
+    log_probs[30:, 1] = -0.1
+    transcript = [0, 1]
+    lam = np.array([30.0, 60.0, 1, 1, 1])
+    h_score, h_labels, h_segs = _host_decode(log_probs, transcript, lam)
+    d = dense_viterbi_decode(log_probs, transcript, lam, frame_sampling=30)
+    assert list(d.labels) == list(h_labels)
+    assert len(d.labels) == T
+    # quirk: first 5 frames carry the final label (1)
+    assert list(d.labels[:5]) == [1] * 5
+    # segment lengths sum to T and the last segment got the remainder
+    assert sum(s.length for s in d.segments) == T
+    assert [(s.label, s.length) for s in d.segments] == [
+        (s.label, s.length) for s in h_segs
+    ]
+
+
+def test_poisson_table_quirks():
+    lam = np.array([30.7, 1.0, 250.0])
+    table = poisson_log_table(lam, max_length=300)
+    assert np.all(np.isneginf(table[0]))
+    # mode of a Poisson(30.7) is near 30
+    assert 25 <= int(np.argmax(table[1:, 0])) + 1 <= 35
+    pm = PoissonModel(lam, max_length=300)
+    assert pm.score(300, 0) == -np.inf
+    assert pm.score(50, 0) == table[50, 0]
+
+
+def test_path_grammar_decode_host():
+    # full-grammar decode (research mode) stays host-side and works
+    g = ModifiedPathGrammar([[0, 1], [0, 2]], num_classes=4)
+    T = 120
+    log_probs = np.full((T, 4), -6.0)
+    log_probs[:60, 0] = -0.05
+    log_probs[60:, 2] = -0.05
+    vd = ViterbiDecoder(g, PoissonModel(np.full(4, 60.0)), frame_sampling=30)
+    score, labels, segs = vd.decode(log_probs)
+    assert [s.label for s in segs] == [0, 2]
+    assert np.isfinite(score)
