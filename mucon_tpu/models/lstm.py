@@ -1,0 +1,125 @@
+"""LSTM cells and masked (bi)directional LSTMs as `jax.lax.scan`s.
+
+torch LSTM gate conventions (gate order i, f, g, o; two bias vectors) are
+reproduced so weights are interchangeable and training dynamics match the
+reference's nn.LSTM encoder/decoder (models.py:195-201, 245-249).
+
+TPU notes: the input projection x @ W_ih for ALL timesteps is hoisted out of
+the scan into one large MXU matmul; the sequential part only carries the
+h @ W_hh recurrence.  Padded timesteps are masked so the carried state
+freezes at each video's last valid frame — the final (h, c) equal what an
+exact-length LSTM would produce.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mucon_tpu.models.layers import time_mask, torch_lstm_init
+
+
+def lstm_step(x_proj, h, c, w_hh, b_hh):
+    """One LSTM step given a precomputed input projection [B x 4H]."""
+    gates = x_proj + h @ w_hh + b_hh
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+class LSTMCellParams(nn.Module):
+    """Parameter container for one torch-layout LSTM cell."""
+
+    input_size: int
+    hidden_size: int
+
+    def setup(self):
+        H, I = self.hidden_size, self.input_size
+        init = torch_lstm_init(H)
+        self.w_ih = self.param("w_ih", init, (I, 4 * H))
+        self.w_hh = self.param("w_hh", init, (H, 4 * H))
+        self.b_ih = self.param("b_ih", init, (4 * H,))
+        self.b_hh = self.param("b_hh", init, (4 * H,))
+
+    def __call__(self, x, h, c):
+        return lstm_step(x @ self.w_ih + self.b_ih, h, c, self.w_hh, self.b_hh)
+
+    def project_inputs(self, xs):
+        """[B x T x I] -> [B x T x 4H] hoisted input projection."""
+        return xs @ self.w_ih + self.b_ih
+
+
+def _scan_direction(cell: LSTMCellParams, xs, mask):
+    """Run one direction over [B x T x I] with state-freezing mask [B x T].
+
+    Returns (outputs [B x T x H], (h_final, c_final))."""
+    B, T, _ = xs.shape
+    H = cell.hidden_size
+    x_proj = cell.project_inputs(xs)  # one big MXU matmul
+    w_hh, b_hh = cell.w_hh, cell.b_hh
+
+    def step(carry, inp):
+        h, c = carry
+        xp, m = inp  # [B x 4H], [B]
+        h_new, c_new = lstm_step(xp, h, c, w_hh, b_hh)
+        m = m[:, None]
+        h = m * h_new + (1 - m) * h
+        c = m * c_new + (1 - m) * c
+        return (h, c), h
+
+    init = (jnp.zeros((B, H), xs.dtype), jnp.zeros((B, H), xs.dtype))
+    (h, c), outs = jax.lax.scan(
+        step, init, (x_proj.swapaxes(0, 1), mask.swapaxes(0, 1))
+    )
+    return outs.swapaxes(0, 1), (h, c)
+
+
+def _reverse_valid(xs, lengths):
+    """Reverse each video's valid prefix in place: out[t] = x[len-1-t]."""
+    T = xs.shape[1]
+    ids = jnp.arange(T)
+    rev = lengths[:, None] - 1 - ids[None, :]
+    rev = jnp.clip(rev, 0, T - 1)
+    return jnp.take_along_axis(xs, rev[:, :, None], axis=1)
+
+
+class MaskedBiLSTM(nn.Module):
+    """Bidirectional masked LSTM matching torch nn.LSTM(bidirectional=True).
+
+    Outputs [B x T x 2H] (zeroed beyond each length) and the final
+    (h, c) per direction concatenated as [B x 2H] each, matching torch's
+    h_n.view(1, -1) flatten order (forward then backward —
+    models.py:603-609).
+    """
+
+    input_size: int
+    hidden_size: int
+    bidirectional: bool = True
+
+    def setup(self):
+        self.fwd = LSTMCellParams(self.input_size, self.hidden_size)
+        if self.bidirectional:
+            self.bwd = LSTMCellParams(self.input_size, self.hidden_size)
+
+    def __call__(self, xs, lengths) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        B, T, _ = xs.shape
+        m = time_mask(T, lengths, xs.dtype)
+        out_f, (h_f, c_f) = _scan_direction(self.fwd, xs, m)
+        if not self.bidirectional:
+            return out_f * m[:, :, None], (h_f, c_f)
+
+        xs_r = _reverse_valid(xs, lengths)
+        out_b_r, (h_b, c_b) = _scan_direction(self.bwd, xs_r, m)
+        out_b = _reverse_valid(out_b_r, lengths)  # re-align to forward time
+        out = jnp.concatenate([out_f, out_b], axis=-1) * m[:, :, None]
+        h = jnp.concatenate([h_f, h_b], axis=-1)
+        c = jnp.concatenate([c_f, c_b], axis=-1)
+        return out, (h, c)

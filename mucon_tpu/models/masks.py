@@ -98,15 +98,14 @@ def create_masks(T: int, L, overlap: float = 0.0, template: str = "box"):
     g = jnp.linspace(-1.0, 1.0, T, dtype=jnp.float32)  # [T]
     u = s[:, None] * g[None, :] + x[:, None]  # [N x T]
     c = (u + 1.0) * 0.5 * (TEMPLATE_WIDTH - 1)  # template pixel coords
+    return _sample_template(c, template)
 
+
+def _sample_template(c, template: str):
+    """Bilinear 1-D template lookup at pixel coords c (zeros outside)."""
     if template == "box":
-        # bilinear sample of an all-ones template with zero padding:
-        # ramps linearly over one template pixel at each edge.
         out = jnp.clip(jnp.minimum(c + 1.0, TEMPLATE_WIDTH - c), 0.0, 1.0)
-        # exact zero outside the (-1, W) support, as grid_sample gives
-        out = jnp.where((c <= -1.0) | (c >= TEMPLATE_WIDTH), 0.0, out)
-        return out
-
+        return jnp.where((c <= -1.0) | (c >= TEMPLATE_WIDTH), 0.0, out)
     tmpl = jnp.asarray(template_values(template))
     i0 = jnp.floor(c)
     f = c - i0
@@ -116,7 +115,43 @@ def create_masks(T: int, L, overlap: float = 0.0, template: str = "box"):
         v = tmpl[jnp.clip(idx, 0, TEMPLATE_WIDTH - 1)]
         return jnp.where((idx < 0) | (idx > TEMPLATE_WIDTH - 1), 0.0, v)
 
-    v0 = lookup(i0i)
-    v1 = lookup(i0i + 1)
-    out = (1.0 - f) * v0 + f * v1
+    out = (1.0 - f) * lookup(i0i) + f * lookup(i0i + 1)
     return jnp.where((c <= -1.0) | (c >= TEMPLATE_WIDTH), 0.0, out)
+
+
+def create_masks_padded(
+    t_pad: int,
+    t_valid,
+    L,
+    seg_valid,
+    overlap: float = 0.0,
+    template: str = "box",
+):
+    """Padded-batch variant of `create_masks` for one video.
+
+    `t_pad` is the static padded frame count; `t_valid` the traced true
+    length T_i; `L` [N_max] absolute lengths (0 at padded segments);
+    `seg_valid` [N_max] bool.  Returns [N_max x t_pad] with exact zeros at
+    padded segments and frames.  Values at valid positions equal
+    `create_masks(T_i, L[:N_i], ...)`.
+    """
+    L = jnp.asarray(L, jnp.float32)
+    t_valid = t_valid.astype(jnp.float32)
+
+    pis = jnp.cumsum(L) - L
+    L = L * (1.0 + 2.0 * overlap)
+    pis = pis - L * (overlap / 2.0)
+
+    safe_L = jnp.where(seg_valid, jnp.maximum(L, 1e-6), 1.0)
+    s = t_valid / safe_L
+    x = -(pis + safe_L / 2.0 - t_valid / 2.0) / (safe_L / 2.0)
+
+    t_ids = jnp.arange(t_pad, dtype=jnp.float32)
+    # align_corners=True output grid over the VALID extent
+    g = -1.0 + 2.0 * t_ids / jnp.maximum(t_valid - 1.0, 1.0)
+    u = s[:, None] * g[None, :] + x[:, None]
+    c = (u + 1.0) * 0.5 * (TEMPLATE_WIDTH - 1)
+
+    out = _sample_template(c, template)
+    frame_ok = t_ids[None, :] < t_valid
+    return jnp.where(seg_valid[:, None] & frame_ok, out, 0.0)

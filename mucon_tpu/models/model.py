@@ -1,0 +1,230 @@
+"""High-level model wrapper: init / forward / loss / predict.
+
+This is the fandak-`Model`-equivalent surface (SURVEY.md §2.11): pure
+functions over explicit parameter pytrees instead of mutable nn.Modules.
+`create_model` / `create_fully_supervised_model` /
+`create_mixed_supervision_model` mirror the reference factories
+(models.py:30-82).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mucon_tpu.data.batching import PaddedBatch
+from mucon_tpu.models.losses import compute_loss, loss_static_config
+from mucon_tpu.models.mucon import (
+    DECODE_MODULES,
+    ENCODE_MODULES,
+    MuConNet,
+    build_model,
+)
+from mucon_tpu.models.outputs import MuConForwardOut, MuConPredictOut
+
+
+class MuConModel:
+    """Owns the flax module + config; stateless apply helpers.
+
+    `teacher_forcing` mirrors the reference's mutable flag
+    (models.py:775-778) but is carried explicitly (it selects a static
+    trace).
+    """
+
+    supervised = False
+    mixed = False
+
+    def __init__(self, cfg, num_classes, max_decoding_steps, input_feature_size):
+        self.cfg = cfg
+        self.num_classes = num_classes
+        self.max_decoding_steps = max_decoding_steps
+        self.input_feature_size = input_feature_size
+        self.net: MuConNet = build_model(
+            cfg, num_classes, max_decoding_steps, input_feature_size
+        )
+        self.loss_cfg = loss_static_config(cfg)
+        self.teacher_forcing = True
+
+    # -- parameters ---------------------------------------------------------
+    def init_params(self, rng, batch: Optional[PaddedBatch] = None):
+        if batch is None:
+            feats = jnp.zeros((1, 64, self.input_feature_size))
+            frames = jnp.array([64])
+            tf_in = jnp.zeros((1, self.max_decoding_steps), jnp.int32)
+            n_len = jnp.array([2])
+        else:
+            feats = jnp.asarray(batch.feats[:1])
+            frames = jnp.asarray(batch.num_frames[:1])
+            tf_in = jnp.asarray(batch.tf_input[:1])
+            n_len = jnp.asarray(batch.transcript_len[:1])
+        variables = self.net.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            feats,
+            frames,
+            tf_in,
+            n_len,
+            train=False,
+            teacher_forcing=True,
+        )
+        return variables["params"]
+
+    def param_partition(self, params):
+        """'encode' / 'decode' label tree for separate grad clipping
+        (reference models.py:284-317, trainers.py:136-138)."""
+
+        def label_for(top_key: str) -> str:
+            for m in ENCODE_MODULES:
+                if top_key == m or top_key.startswith(m):
+                    return "encode"
+            for m in DECODE_MODULES:
+                if top_key == m or top_key.startswith(m):
+                    return "decode"
+            raise KeyError(f"Unpartitioned parameter group: {top_key}")
+
+        return {k: jax.tree.map(lambda _: label_for(k), v) for k, v in params.items()}
+
+    # -- forward/loss ----------------------------------------------------------
+    def forward(
+        self,
+        params,
+        batch_arrays: dict,
+        rng=None,
+        train: bool = False,
+        teacher_forcing: Optional[bool] = None,
+    ) -> MuConForwardOut:
+        tf = self.teacher_forcing if teacher_forcing is None else teacher_forcing
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return self.net.apply(
+            {"params": params},
+            batch_arrays["feats"],
+            batch_arrays["num_frames"],
+            batch_arrays["tf_input"],
+            batch_arrays["transcript_len"],
+            train=train,
+            teacher_forcing=tf,
+            rngs=rngs,
+        )
+
+    def loss(
+        self,
+        fwd: MuConForwardOut,
+        batch_arrays: dict,
+        teacher_forcing: Optional[bool] = None,
+    ):
+        tf = self.teacher_forcing if teacher_forcing is None else teacher_forcing
+        return compute_loss(
+            self.loss_cfg,
+            fwd,
+            tf_target=batch_arrays["tf_target"],
+            transcript=batch_arrays["transcript"],
+            transcript_len=batch_arrays["transcript_len"],
+            num_frames=batch_arrays["num_frames"],
+            teacher_forcing=tf,
+            gt_label=batch_arrays.get("gt_label"),
+            absolute_lengths=batch_arrays.get("absolute_lengths"),
+            fully_supervised=batch_arrays.get("fully_supervised")
+            if self.mixed
+            else None,
+            supervised=self.supervised,
+        )
+
+    def set_teacher_forcing(self, teacher_forcing: bool = True):
+        self.teacher_forcing = teacher_forcing
+
+    # -- prediction (host-side, per video) ------------------------------------
+    def predict(
+        self, batch: PaddedBatch, fwd: MuConForwardOut
+    ) -> List[MuConPredictOut]:
+        """Reference models.py:360-374, vectorized then unpadded per video."""
+        transcript_lp = np.asarray(fwd.transcript)
+        lengths_raw = np.asarray(fwd.lengths)
+        seg = np.asarray(fwd.segmentation)
+        tokens = np.asarray(fwd.tokens)
+        n_steps = np.asarray(fwd.n_steps)
+
+        outs = []
+        for i in range(transcript_lp.shape[0]):
+            t_i = int(batch.num_frames[i])
+            if self.teacher_forcing:
+                n_i = int(batch.transcript_len[i])
+                transcript = list(batch.tf_target[i, : n_i + 1])
+                raw = lengths_raw[i, :n_i]
+            else:
+                k = int(n_steps[i])
+                transcript = list(tokens[i, :k])
+                raw = lengths_raw[i, : max(k - 1, 0)]
+            lens = _softmax_np(raw)
+            seg_lp = _log_softmax_np(seg[i, :t_i])
+            outs.append(
+                MuConPredictOut(
+                    transcript=[int(x) for x in transcript],
+                    lengths=lens,
+                    segmentation_logits=seg_lp,
+                )
+            )
+        return outs
+
+
+class MuConFullySupervisedModel(MuConModel):
+    supervised = True
+
+
+class MuConMixedSupervisionModel(MuConFullySupervisedModel):
+    mixed = True
+
+
+def _softmax_np(x: np.ndarray) -> np.ndarray:
+    if x.size == 0:
+        return x
+    e = np.exp(x - x.max())
+    return e / e.sum()
+
+
+def _log_softmax_np(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    s = np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
+    return x - m - s
+
+
+def batch_to_arrays(batch: PaddedBatch) -> dict:
+    """Device-transferable dict view of a PaddedBatch."""
+    return dict(
+        feats=jnp.asarray(batch.feats),
+        num_frames=jnp.asarray(batch.num_frames),
+        gt_label=jnp.asarray(batch.gt_label),
+        transcript=jnp.asarray(batch.transcript),
+        transcript_len=jnp.asarray(batch.transcript_len),
+        tf_input=jnp.asarray(batch.tf_input),
+        tf_target=jnp.asarray(batch.tf_target),
+        absolute_lengths=jnp.asarray(batch.absolute_lengths),
+        fully_supervised=jnp.asarray(batch.fully_supervised),
+    )
+
+
+def create_model(cfg, num_classes, max_decoding_steps, input_feature_size):
+    if cfg.model.name != "mucon":
+        raise Exception("Invalid model name")
+    return MuConModel(cfg, num_classes, max_decoding_steps, input_feature_size)
+
+
+def create_fully_supervised_model(
+    cfg, num_classes, max_decoding_steps, input_feature_size
+):
+    if cfg.model.name != "mucon":
+        raise Exception("Invalid model name")
+    return MuConFullySupervisedModel(
+        cfg, num_classes, max_decoding_steps, input_feature_size
+    )
+
+
+def create_mixed_supervision_model(
+    cfg, num_classes, max_decoding_steps, input_feature_size
+):
+    if cfg.model.name != "mucon":
+        raise Exception("Invalid model name")
+    return MuConMixedSupervisionModel(
+        cfg, num_classes, max_decoding_steps, input_feature_size
+    )

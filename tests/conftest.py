@@ -7,8 +7,10 @@ runs on a v5e-8 runs here on 8 host devices.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  Force (not setdefault):
+# the container environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel),
+# and tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

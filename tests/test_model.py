@@ -1,0 +1,195 @@
+"""Full-model tests: shapes, padding invariance, decode modes, losses."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mucon_tpu.config import get_cfg_defaults
+from mucon_tpu.data import collate_padded
+from mucon_tpu.data.general_dataset import Sample
+from mucon_tpu.data.utils import create_tf_input, create_tf_target
+from mucon_tpu.models import batch_to_arrays, create_model
+
+
+def small_cfg():
+    cfg = get_cfg_defaults()
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]  # 4x downsample
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    return cfg
+
+
+M = 6  # classes
+D = 12  # feat dim
+NMAX = 8  # max transcript length
+
+
+def make_sample(rng, T, N, name="v"):
+    transcript = rng.randint(0, M, size=N).astype(np.int64)
+    return Sample(
+        feats=rng.randn(T, D).astype(np.float32),
+        gt_label=rng.randint(0, M, size=T).astype(np.int64),
+        transcript=transcript,
+        transcript_tf_input=create_tf_input(transcript, sos_i=M + 1),
+        transcript_tf_target=create_tf_target(transcript, eos_i=M),
+        video_name=name,
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_batch():
+    cfg = small_cfg()
+    rng = np.random.RandomState(0)
+    samples = [make_sample(rng, 60, 3, "a"), make_sample(rng, 41, 5, "b")]
+    batch = collate_padded(samples, n_max=NMAX, pad_multiple=16)
+    model = create_model(cfg, num_classes=M, max_decoding_steps=NMAX + 1,
+                         input_feature_size=D)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    return cfg, model, params, batch, samples
+
+
+def test_forward_shapes(model_and_batch):
+    _, model, params, batch, _ = model_and_batch
+    fwd = model.forward(params, batch_to_arrays(batch), train=False,
+                        teacher_forcing=True)
+    B, T = batch.feats.shape[:2]
+    S = NMAX + 1
+    assert fwd.transcript.shape == (B, S, M + 1)
+    assert fwd.lengths.shape == (B, S)
+    assert fwd.segmentation.shape == (B, T, M)
+    # log-softmax rows sum to 1 in prob space
+    p = np.exp(np.asarray(fwd.transcript[0, 0]))
+    assert p.sum() == pytest.approx(1.0, rel=1e-4)
+    # encoder 4x downsample with floor semantics
+    np.testing.assert_array_equal(
+        np.asarray(fwd.tz_lengths), batch.num_frames // 4
+    )
+    # teacher-forced step counts = N + 1
+    np.testing.assert_array_equal(
+        np.asarray(fwd.n_steps), batch.transcript_len + 1
+    )
+
+
+def test_padding_invariance(model_and_batch):
+    """The defining property of the padded batch design: outputs for a video
+    are identical whatever batch/padding it is computed in."""
+    _, model, params, _, samples = model_and_batch
+    b_pair = collate_padded(samples, n_max=NMAX, pad_multiple=64)  # big pad
+    b_solo = collate_padded(samples[1:], n_max=NMAX, pad_multiple=16)
+
+    f_pair = model.forward(params, batch_to_arrays(b_pair), train=False,
+                           teacher_forcing=True)
+    f_solo = model.forward(params, batch_to_arrays(b_solo), train=False,
+                           teacher_forcing=True)
+
+    T1 = int(b_solo.num_frames[0])
+    np.testing.assert_allclose(
+        np.asarray(f_pair.segmentation)[1, :T1],
+        np.asarray(f_solo.segmentation)[0, :T1],
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pair.transcript)[1],
+        np.asarray(f_solo.transcript)[0],
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pair.lengths)[1],
+        np.asarray(f_solo.lengths)[0],
+        rtol=2e-4, atol=1e-5,
+    )
+
+
+def test_free_decoding_eos(model_and_batch):
+    _, model, params, batch, _ = model_and_batch
+    fwd = model.forward(params, batch_to_arrays(batch), train=False,
+                        teacher_forcing=False)
+    n_steps = np.asarray(fwd.n_steps)
+    tokens = np.asarray(fwd.tokens)
+    S = NMAX + 1
+    for i in range(tokens.shape[0]):
+        k = int(n_steps[i])
+        assert 1 <= k <= S
+        # EOS appears exactly at step k-1, or never within S steps
+        if k < S:
+            assert tokens[i, k - 1] == M
+            assert not np.any(tokens[i, : k - 1] == M)
+
+
+def test_loss_finite_and_grads_flow(model_and_batch):
+    cfg, model, params, batch, _ = model_and_batch
+    arrays = batch_to_arrays(batch)
+
+    def loss_fn(p):
+        fwd = model.forward(p, arrays, rng=jax.random.PRNGKey(1), train=True,
+                            teacher_forcing=True)
+        return model.loss(fwd, arrays, teacher_forcing=True).main
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    flat = jax.tree.leaves(jax.tree.map(lambda g: np.abs(np.asarray(g)).sum(), grads))
+    total = sum(float(x) for x in flat)
+    assert np.isfinite(total) and total > 0
+    # the unused attention l3 gets zero grads, like the reference
+    g3 = np.asarray(grads["fs_decoder_attention_l3_kernel"])
+    assert np.all(g3 == 0)
+
+
+def test_loss_padding_invariance(model_and_batch):
+    cfg, model, params, _, samples = model_and_batch
+    b_small = collate_padded(samples, n_max=NMAX, pad_multiple=16)
+    b_big = collate_padded(samples, n_max=NMAX, pad_multiple=128)
+
+    def main_loss(b):
+        arrays = batch_to_arrays(b)
+        fwd = model.forward(params, arrays, train=False, teacher_forcing=True)
+        loss = model.loss(fwd, arrays, teacher_forcing=True)
+        return float(loss.main), float(loss.mucon_loss), float(loss.smoothing_loss)
+
+    l1, m1, s1 = main_loss(b_small)
+    l2, m2, s2 = main_loss(b_big)
+    assert l1 == pytest.approx(l2, rel=2e-4)
+    assert m1 == pytest.approx(m2, rel=2e-4)
+    assert s1 == pytest.approx(s2, rel=2e-4)
+
+
+def test_loss_components_match_reference_weighting(model_and_batch):
+    cfg, model, params, batch, _ = model_and_batch
+    arrays = batch_to_arrays(batch)
+    fwd = model.forward(params, arrays, train=False, teacher_forcing=True)
+    loss = model.loss(fwd, arrays, teacher_forcing=True)
+    expected = (
+        cfg.model.loss.mul_transcript * float(loss.transcript_loss)
+        + cfg.model.loss.mul_length * float(loss.length_loss)
+        + cfg.model.loss.mul_mucon * float(loss.mucon_loss)
+        + cfg.model.loss.mul_smoothing * float(loss.smoothing_loss)
+    )
+    assert float(loss.main) == pytest.approx(expected, rel=1e-5)
+
+
+def test_predict_teacher_forcing_and_free(model_and_batch):
+    _, model, params, batch, _ = model_and_batch
+    arrays = batch_to_arrays(batch)
+
+    model.set_teacher_forcing(True)
+    fwd = model.forward(params, arrays, train=False)
+    preds = model.predict(batch, fwd)
+    for i, p in enumerate(preds):
+        n = int(batch.transcript_len[i])
+        assert p.transcript == list(batch.tf_target[i, : n + 1])
+        assert p.lengths.shape == (n,)
+        assert p.lengths.sum() == pytest.approx(1.0, rel=1e-5)
+        assert p.segmentation_logits.shape == (int(batch.num_frames[i]), M)
+
+    model.set_teacher_forcing(False)
+    fwd = model.forward(params, arrays, train=False)
+    preds = model.predict(batch, fwd)
+    for i, p in enumerate(preds):
+        k = int(np.asarray(fwd.n_steps)[i])
+        assert len(p.transcript) == k
+        assert len(p.lengths) == k - 1
+    model.set_teacher_forcing(True)
