@@ -1,0 +1,47 @@
+"""Shared CLI plumbing: --cfg/--set/--exp-name composition.
+
+Mirrors the reference's fandak `common_config` click decorator surface
+(train_test_mucon.py:14-27) with argparse (no click dependency in the
+compute image is required, but the flags and composition order match).
+"""
+
+import argparse
+from typing import List, Tuple
+
+from mucon_tpu.config import ConfigNode, get_cfg_defaults, update_config
+
+
+def config_arg_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument(
+        "--cfg",
+        dest="file_configs",
+        action="append",
+        default=[],
+        help="yaml config file override (repeatable)",
+    )
+    p.add_argument(
+        "--set",
+        dest="set_configs",
+        nargs=2,
+        action="append",
+        default=[],
+        metavar=("KEY", "VALUE"),
+        help="dotted config override, e.g. --set dataset.split 2 (repeatable)",
+    )
+    p.add_argument("--exp-name", default="", help="experiment name override")
+    return p
+
+
+def compose_config(args) -> ConfigNode:
+    flat_sets: List[str] = [x for pair in args.set_configs for x in pair]
+    cfg = update_config(
+        default_config=get_cfg_defaults(),
+        file_configs=args.file_configs,
+        set_configs=flat_sets,
+    )
+    if getattr(args, "exp_name", ""):
+        cfg.defrost()
+        cfg.experiment_name = args.exp_name
+        cfg.freeze()
+    return cfg

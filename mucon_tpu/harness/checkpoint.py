@@ -1,0 +1,58 @@
+"""Checkpoint save/restore for the self-describing run folder.
+
+Layout contract (SURVEY.md §5.4, proved by reference call sites
+test_mucon.py:41-43,78 and train_test_mucon.py:64):
+
+    <trainer.root>/<exp_name>/<run_number>/
+        config.yaml                  # snapshot; runs are self-describing
+        checkpoints/epoch_<n>/
+            model.msgpack            # parameter pytree
+            optimizer.msgpack        # optimizer state pytree
+            trainer_state.json       # epoch/iter counters, scheduler state
+        metrics/...                  # metric series (metrics_store.py)
+        data_<evaluator>.pkl         # evaluator artifact dumps
+
+Serialization is flax msgpack (host-independent, works for any pytree of
+arrays); restore requires congruent templates, which the trainer
+reconstructs from config — same contract as the reference's
+`load_training(run, epoch)`.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(folder: Path, params, opt_state, trainer_state: dict) -> None:
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    params = jax.device_get(params)
+    opt_state = jax.device_get(opt_state)
+    (folder / "model.msgpack").write_bytes(serialization.to_bytes(params))
+    (folder / "optimizer.msgpack").write_bytes(serialization.to_bytes(opt_state))
+    with open(folder / "trainer_state.json", "w") as f:
+        json.dump(trainer_state, f, indent=2)
+
+
+def load_checkpoint(folder: Path, params_template, opt_state_template=None):
+    """Returns (params, opt_state | None, trainer_state dict)."""
+    folder = Path(folder)
+    params = serialization.from_bytes(
+        params_template, (folder / "model.msgpack").read_bytes()
+    )
+    opt_state = None
+    opt_path = folder / "optimizer.msgpack"
+    if opt_state_template is not None and opt_path.exists():
+        opt_state = serialization.from_bytes(
+            opt_state_template, opt_path.read_bytes()
+        )
+    state = {}
+    sp = folder / "trainer_state.json"
+    if sp.exists():
+        with open(sp) as f:
+            state = json.load(f)
+    return params, opt_state, state

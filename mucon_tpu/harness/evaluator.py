@@ -1,0 +1,372 @@
+"""Evaluation: the 24-field MuCon result with Viterbi decoding.
+
+Port of the reference evaluator semantics (src/mucon/evaluators.py):
+
+* free decoding (teacher forcing off; the alignment evaluator turns it on);
+* transcript metrics on the s-head transcript (EOS dropped);
+* Viterbi decode of the y-head log-softmax constrained to the s-head's own
+  transcript, with a per-class Poisson length model whose means are the
+  s-head's predicted lengths averaged per class via the one-hot trick
+  (evaluators.py:146-180);
+* s-head framewise prediction by repeating the transcript with rounded
+  relative lengths (evaluators.py:28-35);
+* all predictions nearest-interpolated to the GT length, then fed to the
+  18 segmentation + 2 transcript + 6 edit/F1 metric objects;
+* per-video raw outputs pickled for offline visualization (save_stuff).
+
+TPU design: the model forward runs on padded device batches; the Viterbi DP
+runs as the batched dense scan on device (mucon_tpu/ops/viterbi.py) instead
+of the reference's per-video host Python DP — the host only does the O(K)
+traceback walk and the numpy metric updates.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from mucon_tpu.data.batching import PaddedBatch, PaddedBatchLoader
+from mucon_tpu.decode.length_model import PoissonModel
+from mucon_tpu.decode.grammar import SingleTranscriptGrammar
+from mucon_tpu.decode.viterbi_host import ViterbiDecoder
+from mucon_tpu.metrics import (
+    AbsLenDiffMetric,
+    Edit,
+    F1Score,
+    IoDMetric,
+    IoUMetric,
+    MatchingScoreMetric,
+    Metric,
+    MoFAccuracyMetric,
+)
+from mucon_tpu.models.model import batch_to_arrays
+from mucon_tpu.ops.viterbi import dense_viterbi_decode_batch
+from mucon_tpu.utils import make_same_size_interpolate
+
+
+def create_segmentation_from_segments(
+    actions: np.ndarray, lengths: np.ndarray, n_frames: int
+) -> np.ndarray:
+    """Expand (transcript, relative lengths) to frames (evaluators.py:28-35)."""
+    lengths = lengths * n_frames
+    lengths = np.around(lengths).astype(int)
+    lengths[lengths < 0] = 0
+    return np.repeat(actions, lengths)
+
+
+def one_hot(a: np.ndarray, num_classes: int) -> np.ndarray:
+    return np.eye(num_classes)[a.reshape(-1)]
+
+
+@dataclass
+class MuConEvaluatorResult:
+    """24 metric fields (reference evaluators.py:38-67)."""
+
+    y_mof: float
+    y_mof_nbg: float
+    y_iod: float
+    y_iou: float
+
+    s_mof: float
+    s_mof_nbg: float
+    s_iod: float
+    s_iou: float
+    s_iod_nbg: float
+    s_iou_nbg: float
+
+    s_mat_score: float
+    s_len_diff: float
+
+    vit_mof: float
+    vit_mof_nbg: float
+    vit_iod: float
+    vit_iou: float
+    vit_iod_nbg: float
+    vit_iou_nbg: float
+
+    vit_edit_score: float
+    vit_f1_score: Tuple[float, float, float]
+    y_edit_score: float
+    y_f1_score: Tuple[float, float, float]
+    s_edit_score: float
+    s_f1_score: Tuple[float, float, float]
+
+
+class MuConEvaluator:
+    """fandak-Evaluator-equivalent (SURVEY.md §2.11, §2.14)."""
+
+    def __init__(self, cfg, test_db, model, device=None):
+        self.cfg = cfg
+        self.test_db = test_db
+        self.model = model
+        self.device = device
+        self.name = "eval"
+        self.checkpointing_folder: Optional[Path] = None
+
+        self.enable_viterbi = False
+        self.viterbi_multi_length = cfg.evaluator.viterbi.multi_length
+        self.frame_sampling = cfg.evaluator.viterbi.frame_sampling
+        self.viterbi_backend = cfg.evaluator.viterbi.backend
+
+        bg = test_db.background_class_ids
+
+        self.y_mof_metric = MoFAccuracyMetric()
+        self.y_mof_nbg_metric = MoFAccuracyMetric(ignore_ids=bg)
+        self.y_iod_metric = IoDMetric()
+        self.y_iou_metric = IoUMetric()
+
+        self.s_mof_metric = MoFAccuracyMetric()
+        self.s_mof_nbg_metric = MoFAccuracyMetric(ignore_ids=bg)
+        self.s_iod_metric = IoDMetric()
+        self.s_iou_metric = IoUMetric()
+        self.s_iod_nbg_metric = IoDMetric(ignore_ids=bg)
+        self.s_iou_nbg_metric = IoUMetric(ignore_ids=bg)
+
+        self.vit_mof_metric = MoFAccuracyMetric()
+        self.vit_mof_nbg_metric = MoFAccuracyMetric(ignore_ids=bg)
+        self.vit_iod_metric = IoDMetric()
+        self.vit_iou_metric = IoUMetric()
+        self.vit_iod_nbg_metric = IoDMetric(ignore_ids=bg)
+        self.vit_iou_nbg_metric = IoUMetric(ignore_ids=bg)
+
+        self.s_mat_score_metric = MatchingScoreMetric()
+        self.s_abs_len_diff_metric = AbsLenDiffMetric()
+
+        self.vit_edit_score_metric = Edit()
+        self.y_edit_score_metric = Edit()
+        self.s_edit_score_metric = Edit()
+        self.vit_f1_score_metric = F1Score()
+        self.y_f1_score_metric = F1Score()
+        self.s_f1_score_metric = F1Score()
+
+    # -- mode switches ------------------------------------------------------
+    def viterbi_mode(self, mode: bool = True) -> None:
+        self.enable_viterbi = mode
+
+    def get_name(self) -> str:
+        return self.name
+
+    def set_name(self, name: str) -> None:
+        self.name = name
+
+    def set_checkpointing_folder(self, folder: Path) -> None:
+        self.checkpointing_folder = Path(folder)
+
+    # -- main loop --------------------------------------------------------------
+    def create_dataloader(self) -> PaddedBatchLoader:
+        return PaddedBatchLoader(
+            self.test_db,
+            batch_size=max(1, self.cfg.tpu.batch_size),
+            pad_multiple=self.cfg.tpu.pad_multiple,
+            shuffle=False,
+            bucket_by_length=True,
+            prefetch=2,
+        )
+
+    def on_start_eval(self) -> None:
+        # free decoding unless we're the alignment evaluator
+        self.model.set_teacher_forcing(False)
+        self.y_segs, self.s_segs, self.vit_segs = [], [], []
+        self.s_lens, self.s_transcript = [], []
+        self.target_segs, self.target_transcripts = [], []
+        for attrname in dir(self):
+            attr = getattr(self, attrname)
+            if isinstance(attr, Metric):
+                attr.reset()
+
+    def evaluate(self, params) -> MuConEvaluatorResult:
+        self.on_start_eval()
+        for batch in self.create_dataloader():
+            arrays = batch_to_arrays(batch)
+            fwd = self.model.forward(params, arrays, train=False)
+            self.batch_eval_calculation(batch, fwd)
+        return self.on_finish_eval()
+
+    # -- per-batch ---------------------------------------------------------------
+    def batch_eval_calculation(self, batch: PaddedBatch, fwd) -> None:
+        preds = self.model.predict(batch, fwd)
+        M = self.test_db.get_num_classes()
+        B = batch.batch_size
+
+        # per-video s-head predictions (EOS dropped)
+        s_transcripts = [p.transcript[:-1] for p in preds]
+        s_rel_lengths = [np.asarray(p.lengths) for p in preds]
+
+        vit_labels: List[Optional[np.ndarray]] = [None] * B
+        if self.enable_viterbi:
+            vit_labels = self._decode_viterbi_batch(
+                batch, preds, s_transcripts, s_rel_lengths, M
+            )
+
+        for i in range(B):
+            t_i = int(batch.num_frames[i])
+            n_i = int(batch.transcript_len[i])
+            target_labels = np.asarray(batch.gt_label[i, :t_i])
+            target_transcript = list(batch.transcript[i, :n_i])
+
+            self.s_mat_score_metric.add(
+                target_transcript=target_transcript,
+                predicted_transcript=s_transcripts[i],
+            )
+            self.s_abs_len_diff_metric.add(
+                target_transcript=target_transcript,
+                predicted_transcript=s_transcripts[i],
+            )
+
+            y_pred = np.argmax(preds[i].segmentation_logits, axis=1)
+            s_pred = create_segmentation_from_segments(
+                actions=np.asarray(s_transcripts[i], dtype=np.int64),
+                lengths=s_rel_lengths[i][: len(s_transcripts[i])],
+                n_frames=t_i,
+            )
+            if s_pred.size == 0:
+                s_pred = np.zeros(t_i, np.int64)
+
+            s_same = make_same_size_interpolate(s_pred, target_labels)
+            y_same = make_same_size_interpolate(y_pred, target_labels)
+
+            for m in (
+                self.s_mof_metric, self.s_mof_nbg_metric, self.s_iod_metric,
+                self.s_iod_nbg_metric, self.s_iou_metric, self.s_iou_nbg_metric,
+                self.s_edit_score_metric, self.s_f1_score_metric,
+            ):
+                m(targets=target_labels, predictions=s_same)
+            for m in (
+                self.y_mof_metric, self.y_mof_nbg_metric, self.y_iod_metric,
+                self.y_iou_metric, self.y_edit_score_metric,
+                self.y_f1_score_metric,
+            ):
+                m(targets=target_labels, predictions=y_same)
+
+            if self.enable_viterbi:
+                vit_same = make_same_size_interpolate(vit_labels[i], target_labels)
+                for m in (
+                    self.vit_mof_metric, self.vit_mof_nbg_metric,
+                    self.vit_iod_metric, self.vit_iod_nbg_metric,
+                    self.vit_iou_metric, self.vit_iou_nbg_metric,
+                    self.vit_edit_score_metric, self.vit_f1_score_metric,
+                ):
+                    m(targets=target_labels, predictions=vit_same)
+                self.vit_segs.append(vit_same)
+            else:
+                self.vit_segs.append(s_same)
+
+            self.y_segs.append(y_same)
+            self.s_segs.append(s_same)
+            self.s_lens.append(s_rel_lengths[i])
+            self.s_transcript.append(s_transcripts[i])
+            self.target_segs.append(target_labels)
+            self.target_transcripts.append(target_transcript)
+
+    def _decode_viterbi_batch(self, batch, preds, s_transcripts, s_rel_lengths, M):
+        """Per-class Poisson means from the s-head (evaluators.py:152-168),
+        then dense device decode (or the host oracle when configured)."""
+        B = batch.batch_size
+        all_lambdas = np.ones((B, M), np.float64)
+        transcripts, n_valid = [], []
+        n_max = max(1, max(len(t) for t in s_transcripts))
+
+        for i in range(B):
+            tr = [t for t in s_transcripts[i] if 0 <= t < M]
+            if not tr:  # degenerate: decode against background only
+                tr = [0]
+            t_i = int(batch.num_frames[i])
+            actions = one_hot(np.array(tr), M)
+            lam = np.dot(s_rel_lengths[i][: len(tr)], actions) * t_i
+            k = actions.sum(0)
+            k[k == 0] = 1
+            lam /= k
+            lam[lam == 0] = 1
+            all_lambdas[i] = lam
+            transcripts.append(tr + [0] * (n_max - len(tr)))
+            n_valid.append(len(tr))
+
+        if self.viterbi_backend == "host":
+            out = []
+            for i in range(B):
+                t_i = int(batch.num_frames[i])
+                vd = ViterbiDecoder(
+                    SingleTranscriptGrammar(
+                        transcripts[i][: n_valid[i]], M
+                    ),
+                    PoissonModel(all_lambdas[i]),
+                    frame_sampling=self.frame_sampling,
+                )
+                _, labels, _ = vd.decode(
+                    preds[i].segmentation_logits.astype(np.float64)
+                )
+                out.append(np.asarray(labels))
+            return out
+
+        # device dense DP over the whole padded batch
+        t_pad = int(batch.feats.shape[1])
+        log_probs = np.zeros((B, t_pad, M), np.float32)
+        for i in range(B):
+            t_i = int(batch.num_frames[i])
+            log_probs[i, :t_i] = preds[i].segmentation_logits
+        results = dense_viterbi_decode_batch(
+            log_probs,
+            batch.num_frames,
+            np.asarray(transcripts, np.int32),
+            np.asarray(n_valid, np.int32),
+            all_lambdas.astype(np.float32),
+            frame_sampling=self.frame_sampling,
+        )
+        return [r.labels for r in results]
+
+    # -- finish -----------------------------------------------------------------
+    def on_finish_eval(self) -> MuConEvaluatorResult:
+        self.to_save = {
+            "y_segs": self.y_segs,
+            "s_segs": self.s_segs,
+            "vit_segs": self.vit_segs,
+            "s_lens": self.s_lens,
+            "s_transcript": self.s_transcript,
+            "target_segs": self.target_segs,
+            "target_transcripts": self.target_transcripts,
+        }
+        return MuConEvaluatorResult(
+            s_mat_score=self.s_mat_score_metric.summary(),
+            s_len_diff=self.s_abs_len_diff_metric.summary(),
+            s_mof=self.s_mof_metric.summary(),
+            s_mof_nbg=self.s_mof_nbg_metric.summary(),
+            s_iod=self.s_iod_metric.summary(),
+            s_iod_nbg=self.s_iod_nbg_metric.summary(),
+            s_iou=self.s_iou_metric.summary(),
+            s_iou_nbg=self.s_iou_nbg_metric.summary(),
+            y_mof=self.y_mof_metric.summary(),
+            y_mof_nbg=self.y_mof_nbg_metric.summary(),
+            y_iod=self.y_iod_metric.summary(),
+            y_iou=self.y_iou_metric.summary(),
+            vit_mof=self.vit_mof_metric.summary(),
+            vit_mof_nbg=self.vit_mof_nbg_metric.summary(),
+            vit_iod=self.vit_iod_metric.summary(),
+            vit_iod_nbg=self.vit_iod_nbg_metric.summary(),
+            vit_iou=self.vit_iou_metric.summary(),
+            vit_iou_nbg=self.vit_iou_nbg_metric.summary(),
+            y_edit_score=self.y_edit_score_metric.summary(),
+            y_f1_score=tuple(self.y_f1_score_metric.summary()),
+            s_edit_score=self.s_edit_score_metric.summary(),
+            s_f1_score=tuple(self.s_f1_score_metric.summary()),
+            vit_edit_score=self.vit_edit_score_metric.summary(),
+            vit_f1_score=tuple(self.vit_f1_score_metric.summary()),
+        )
+
+    def save_stuff(self) -> None:
+        assert self.checkpointing_folder is not None
+        self.checkpointing_folder.mkdir(parents=True, exist_ok=True)
+        with open(self.checkpointing_folder / f"data_{self.name}.pkl", "wb") as f:
+            pickle.dump(self.to_save, f)
+
+
+class MuConAlignmentEvaluator(MuConEvaluator):
+    """Action *alignment*: decode with the GT transcript (teacher forcing)
+    — reference evaluators.py:343-347."""
+
+    def on_start_eval(self) -> None:
+        super().on_start_eval()
+        self.model.set_teacher_forcing(True)

@@ -1,0 +1,339 @@
+"""Training harness: the fandak-Trainer-equivalent experiment loop.
+
+Reproduces the reference training semantics (src/mucon/trainers.py +
+inferred fandak behavior, SURVEY.md §2.11/§3.1):
+
+* run folder `<root>/<exp_name>/<run_number>/` with a config.yaml snapshot;
+* epoch loop with teacher-forcing control on epoch start, eval/save
+  cadence, scheduler step driven by eval results (plateau uses s_mof_nbg);
+* gradient accumulation and the encoder/decoder-separate global-norm clip;
+* `save_training()` / `load_training(run, epoch)` resume contract;
+* persisted metric series under `metrics/` and evaluator pickles.
+
+TPU design: ONE jitted, donated train step (forward + loss + grad + clip +
+optimizer) per (bucket shape x teacher-forcing) — the epoch loop only feeds
+padded batches and reads scalars; batches prefetch on a host thread.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mucon_tpu.data.batching import PaddedBatchLoader
+from mucon_tpu.harness.checkpoint import load_checkpoint, save_checkpoint
+from mucon_tpu.harness.logging import RunLogger, StepTimer
+from mucon_tpu.harness.metrics_store import MetricStore
+from mucon_tpu.harness.optim import (
+    Scheduler,
+    create_optimizer,
+    create_scheduler,
+    set_learning_rate,
+)
+from mucon_tpu.models.model import batch_to_arrays
+
+
+def _next_run_number(exp_folder: Path) -> int:
+    if not exp_folder.exists():
+        return 0
+    runs = [int(p.name) for p in exp_folder.iterdir() if p.name.isdigit()]
+    return max(runs) + 1 if runs else 0
+
+
+class SimpleTrainer:
+    eval_metric_name_format = "eval_metric_{}"
+
+    def __init__(
+        self,
+        cfg,
+        exp_name: str,
+        train_db,
+        model,
+        device=None,
+        evaluators: Optional[List] = None,
+        run_number: Optional[int] = None,
+        seed: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.exp_name = exp_name
+        self.train_db = train_db
+        self.model = model
+        self.device = device
+        self.evaluators = list(evaluators) if evaluators else []
+
+        self.update_trainer_using_config()
+
+        # run folder (self-describing: config snapshot inside)
+        self.root = self.figure_root()
+        exp_folder = self.root / exp_name
+        self.run_number = (
+            run_number if run_number is not None else _next_run_number(exp_folder)
+        )
+        self.run_folder = exp_folder / str(self.run_number)
+        self.run_folder.mkdir(parents=True, exist_ok=True)
+        cfg.clone().dump_to_file(str(self.run_folder / "config.yaml"))
+
+        self.logger = RunLogger(self.run_folder)
+        self.metrics = MetricStore(self.run_folder / "metrics")
+        self.timer = StepTimer()
+
+        self.epoch_num = 0
+        self.iter_num = 0
+
+        self.seed = cfg.system.seed if seed is None else seed
+        self._rng = jax.random.PRNGKey(self.seed)
+
+        # params + optimizer
+        self.params = self.model.init_params(jax.random.PRNGKey(self.seed))
+        self.partition = self.model.param_partition(self.params)
+        self.tx = self.figure_optimizer()
+        self.opt_state = self.tx.init(self.params)
+        self.scheduler: Optional[Scheduler] = self.figure_scheduler()
+
+        self.accumulate_grad_every = self.figure_accumulate_grad() or 1
+        self._step_fns: Dict[bool, Any] = {}
+        self._grad_fns: Dict[bool, Any] = {}
+
+    # -- template methods (fandak contract, trainers.py:60-106) -------------
+    def update_trainer_using_config(self) -> None:
+        self.save_every = self.cfg.trainer.save_every
+        self.eval_every = self.cfg.trainer.eval_every
+
+    def figure_root(self) -> Path:
+        return Path(self.cfg.trainer.root)
+
+    def figure_optimizer(self):
+        return create_optimizer(self.cfg, self.partition)
+
+    def figure_scheduler(self) -> Optional[Scheduler]:
+        return create_scheduler(self.cfg)
+
+    def figure_accumulate_grad(self) -> int:
+        return self.cfg.trainer.accumulate_grad_every
+
+    def figure_num_epochs(self) -> int:
+        return self.cfg.trainer.num_epochs
+
+    def create_train_dataloader(self) -> PaddedBatchLoader:
+        return PaddedBatchLoader(
+            self.train_db,
+            batch_size=max(1, self.cfg.tpu.batch_size),
+            pad_multiple=self.cfg.tpu.pad_multiple,
+            shuffle=True,
+            seed=self.seed,
+            prefetch=max(1, self.cfg.system.num_workers),
+        )
+
+    def figure_scheduler_input(self, eval_results) -> Dict[str, Any]:
+        if self.cfg.trainer.scheduler.name == "plateau" and eval_results:
+            return {"metrics": eval_results[0].s_mof_nbg}
+        return {}
+
+    # -- callbacks ------------------------------------------------------------
+    def on_start_epoch(self, epoch_num: int) -> None:
+        self.model.set_teacher_forcing(self.cfg.model.teacher_forcing)
+
+    def on_finish_epoch(self, epoch_num: int) -> None:
+        if (epoch_num + 1) % self.eval_every == 0:
+            for evaluator in self.evaluators:
+                evaluator.set_checkpointing_folder(self._get_checkpointing_folder())
+                evaluator.save_stuff()
+
+    def on_start_batch(self, iter_num: int, batch) -> None:
+        pass
+
+    def on_finish_batch(self, iter_num: int, batch, loss) -> None:
+        pass
+
+    # -- jitted steps -----------------------------------------------------------
+    def _make_step_fn(self, teacher_forcing: bool):
+        model, tx = self.model, self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, rng, arrays):
+            def loss_fn(p):
+                fwd = model.forward(
+                    p, arrays, rng=rng, train=True, teacher_forcing=teacher_forcing
+                )
+                loss = model.loss(fwd, arrays, teacher_forcing=teacher_forcing)
+                return loss.main, loss
+
+            grads, loss = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    def _make_grad_fn(self, teacher_forcing: bool):
+        model = self.model
+        k = float(self.accumulate_grad_every)
+
+        @jax.jit
+        def grad_step(params, acc, rng, arrays):
+            def loss_fn(p):
+                fwd = model.forward(
+                    p, arrays, rng=rng, train=True, teacher_forcing=teacher_forcing
+                )
+                loss = model.loss(fwd, arrays, teacher_forcing=teacher_forcing)
+                return loss.main / k, loss
+
+            grads, loss = jax.grad(loss_fn, has_aux=True)(params)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            return acc, loss
+
+        return grad_step
+
+    def _apply_accumulated(self, acc):
+        @jax.jit
+        def apply(params, opt_state, acc):
+            updates, opt_state = self.tx.update(acc, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        self.params, self.opt_state = apply(self.params, self.opt_state, acc)
+
+    # -- main loop ----------------------------------------------------------------
+    def train(self) -> None:
+        num_epochs = self.figure_num_epochs()
+        start = self.epoch_num
+        for epoch in range(start, num_epochs):
+            self.epoch_num = epoch
+            self.on_start_epoch(epoch)
+            self._train_one_epoch()
+
+            eval_results = []
+            if self.evaluators and (epoch + 1) % self.eval_every == 0:
+                for i, evaluator in enumerate(self.evaluators):
+                    result = evaluator.evaluate(self.params)
+                    eval_results.append(result)
+                    name = self.eval_metric_name_format.format(i + 1)
+                    self.metrics[name].set_value(result, epoch)
+                    self.metrics[name].save()
+                    self.logger.log(
+                        f"eval_{i}",
+                        epoch,
+                        **{
+                            k: v
+                            for k, v in dataclasses.asdict(result).items()
+                            if isinstance(v, (int, float))
+                        },
+                    )
+                # eval switches teacher forcing off; restore for training
+                self.model.set_teacher_forcing(self.cfg.model.teacher_forcing)
+
+            if self.scheduler is not None:
+                self.scheduler.step(**self.figure_scheduler_input(eval_results))
+                self.opt_state = set_learning_rate(self.opt_state, self.scheduler.lr)
+
+            if (epoch + 1) % self.save_every == 0:
+                self.save_training()
+
+            self.on_finish_epoch(epoch)
+
+    def _train_one_epoch(self) -> None:
+        tf = self.model.teacher_forcing
+        loader = self.create_train_dataloader()
+        accumulate = self.accumulate_grad_every
+
+        if accumulate == 1 and tf not in self._step_fns:
+            self._step_fns[tf] = self._make_step_fn(tf)
+        if accumulate > 1 and tf not in self._grad_fns:
+            self._grad_fns[tf] = self._make_grad_fn(tf)
+
+        acc = None
+        last_loss = None
+        for it, batch in enumerate(loader):
+            self.on_start_batch(self.iter_num, batch)
+            self._rng, step_rng = jax.random.split(self._rng)
+            arrays = batch_to_arrays(batch)
+
+            if accumulate == 1:
+                self.params, self.opt_state, loss = self._step_fns[tf](
+                    self.params, self.opt_state, step_rng, arrays
+                )
+            else:
+                if acc is None:
+                    acc = jax.tree.map(jnp.zeros_like, self.params)
+                acc, loss = self._grad_fns[tf](self.params, acc, step_rng, arrays)
+                if it % accumulate == accumulate - 1:
+                    self._apply_accumulated(acc)
+                    acc = jax.tree.map(jnp.zeros_like, self.params)
+
+            self.timer.tick(batch.batch_size)
+            if self.iter_num % 20 == 0:
+                scalars = {
+                    k: float(v)
+                    for k, v in dataclasses.asdict(loss).items()
+                    if np.ndim(v) == 0
+                }
+                vps = self.timer.items_per_sec
+                if vps:
+                    scalars["videos_per_sec"] = vps
+                scalars["lr"] = (
+                    self.scheduler.lr if self.scheduler else self.cfg.trainer.learning_rate
+                )
+                self.logger.log("train", self.iter_num, **scalars)
+            self.on_finish_batch(self.iter_num, batch, loss)
+            self.iter_num += 1
+            last_loss = loss
+
+        # one synchronous epoch summary (cheap: a single device sync)
+        if last_loss is not None:
+            scalars = {
+                k: float(v)
+                for k, v in dataclasses.asdict(last_loss).items()
+                if np.ndim(v) == 0
+            }
+            self.logger.log("epoch", self.epoch_num, **scalars)
+
+    # -- checkpointing (fandak contract) ---------------------------------------
+    def _get_checkpointing_folder(self) -> Path:
+        folder = self.run_folder / "checkpoints" / f"epoch_{self.epoch_num}"
+        folder.mkdir(parents=True, exist_ok=True)
+        return folder
+
+    def save_training(self) -> None:
+        state = {
+            "epoch_num": self.epoch_num,
+            "iter_num": self.iter_num,
+            "scheduler": self.scheduler.state_dict() if self.scheduler else None,
+        }
+        save_checkpoint(
+            self._get_checkpointing_folder(), self.params, self.opt_state, state
+        )
+
+    def load_training(self, run, epoch: int) -> None:
+        """Restore params/optimizer/counters from <root>/<exp>/<run>/
+        checkpoints/epoch_<epoch>/ (reference test_mucon.py:78)."""
+        folder = (
+            self.root / self.exp_name / str(run) / "checkpoints" / f"epoch_{epoch}"
+        )
+        params, opt_state, state = load_checkpoint(
+            folder, self.params, self.opt_state
+        )
+        self.params = params
+        if opt_state is not None:
+            self.opt_state = opt_state
+        self.epoch_num = state.get("epoch_num", epoch)
+        self.iter_num = state.get("iter_num", 0)
+        if self.scheduler is not None and state.get("scheduler"):
+            self.scheduler.load_state_dict(state["scheduler"])
+            self.opt_state = set_learning_rate(self.opt_state, self.scheduler.lr)
+
+
+class TrainerForTFExperiments(SimpleTrainer):
+    """Disables teacher forcing after a given epoch (trainers.py:166-191)."""
+
+    def __init__(self, *args, turnoff_tf_after_epoch: int = 1000, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.turnoff_tf_after_epoch = turnoff_tf_after_epoch
+
+    def on_start_epoch(self, epoch_num: int) -> None:
+        self.model.set_teacher_forcing(epoch_num < self.turnoff_tf_after_epoch)

@@ -1,0 +1,88 @@
+"""End-to-end: train on synthetic data, Viterbi-evaluate, resume.
+
+The reference has no such test (SURVEY.md §4); this is the framework's
+primary integration guarantee: the full train_test_mucon flow runs, the
+loss decreases on learnable data, the 24-field result is produced, the
+run folder is self-describing, and `test_mucon`-style resume reproduces
+the evaluation from the checkpoint alone.
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from mucon_tpu.cli import test_mucon as test_mucon_cli
+from mucon_tpu.cli import train_test_mucon as train_cli
+from mucon_tpu.harness.evaluator import MuConEvaluatorResult
+
+
+@pytest.fixture(scope="module")
+def tiny_args(tmp_path_factory):
+    data_root = tmp_path_factory.mktemp("data")
+    run_root = tmp_path_factory.mktemp("runs")
+    overrides = [
+        ("dataset.name", "synthetic"),
+        ("dataset.root", str(data_root)),
+        ("dataset.synthetic.num_videos", "10"),
+        ("dataset.synthetic.num_classes", "6"),
+        ("dataset.synthetic.feat_dim", "16"),
+        ("dataset.synthetic.min_len", "120"),
+        ("dataset.synthetic.max_len", "400"),
+        ("trainer.root", str(run_root)),
+        ("trainer.num_epochs", "2"),
+        ("trainer.save_every", "1"),
+        ("trainer.eval_every", "1"),
+        ("trainer.learning_rate", "0.05"),
+        ("model.ft.stages", "[1, 2, 4]"),
+        ("model.ft.pooling_layers", "[0, 1]"),
+        ("model.ft.hidden_size", "16"),
+        ("model.ft.last_gn_num_groups", "4"),
+        ("model.fs.encoder.hidden_size", "16"),
+        ("model.fs.decoder.hidden_size", "16"),
+        ("tpu.batch_size", "4"),
+        ("tpu.pad_multiple", "64"),
+        ("evaluator.viterbi.frame_sampling", "10"),
+    ]
+    argv = ["--exp-name", "e2e_test"]
+    for k, v in overrides:
+        argv += ["--set", k, v]
+    return argv, run_root
+
+
+def test_train_test_resume(tiny_args):
+    argv, run_root = tiny_args
+    result = train_cli.main(argv)
+    assert isinstance(result, MuConEvaluatorResult)
+    d = dataclasses.asdict(result)
+    assert len(d) == 24
+    for k, v in d.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), k
+    assert 0.0 <= result.vit_mof <= 1.0
+    assert 0.0 <= result.y_mof <= 1.0
+
+    # run folder contract: self-describing config + checkpoints + metrics
+    run_folder = run_root / "e2e_test" / "0"
+    assert (run_folder / "config.yaml").exists()
+    assert (run_folder / "checkpoints" / "epoch_1" / "model.msgpack").exists()
+    assert (run_folder / "metrics" / "eval_metric_1.pkl").exists()
+    assert (run_folder / "checkpoints" / "epoch_1" / "data_test_eval.pkl").exists()
+
+    # loss decreased over training (learnable synthetic data)
+    events = [
+        json.loads(l)
+        for l in open(run_folder / "events.jsonl")
+        if json.loads(l)["kind"] == "epoch"
+    ]
+    assert len(events) >= 2
+    assert events[-1]["main"] < events[0]["main"]
+
+    # resume-and-evaluate from the checkpoint alone (test_mucon flow)
+    result2 = test_mucon_cli.single_main(
+        "e2e_test/0/1", root=str(run_root), data_root=""
+    )
+    assert result2.vit_mof == pytest.approx(result.vit_mof, abs=1e-6)
+    assert result2.s_mat_score == pytest.approx(result.s_mat_score, abs=1e-6)
+    assert result2.y_mof == pytest.approx(result.y_mof, abs=1e-6)
