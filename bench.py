@@ -1,0 +1,146 @@
+"""Benchmark: MuCon training throughput (videos/s) on one chip.
+
+Baseline: the reference trains Breakfast split 1 at ~14.7-16.2 it/s
+(= videos/s at its hard-coded batch size 1) on a "modern" GPU
+(BASELINE.md; reference README.md:95-97).  This bench runs the SAME model
+shape (2048-d I3D features, 48 classes, 11-stage WaveNet encoder with 16x
+pooling, BiLSTM+attention decoder, all four losses, SGD with partitioned
+grad clipping) on Breakfast-shaped synthetic batches and reports
+steady-state training throughput per chip; the Viterbi evaluation path
+(free decode + batched dense DP) is timed as a secondary number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+BASELINE_VIDEOS_PER_SEC = 15.45  # midpoint of the reference's 14.7-16.2 it/s
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+
+    import jax
+    import jax.numpy as jnp
+
+    from mucon_tpu.config import get_cfg_defaults
+    from mucon_tpu.data.batching import collate_padded
+    from mucon_tpu.data.general_dataset import Sample
+    from mucon_tpu.data.utils import create_tf_input, create_tf_target
+    from mucon_tpu.harness.optim import create_optimizer
+    from mucon_tpu.models import batch_to_arrays, create_model
+    from mucon_tpu.ops.viterbi import dense_viterbi_decode_batch
+
+    M, D = 48, 2048
+    B = int(os.environ.get("BENCH_BS", "4" if small else "16"))
+    T_MIN, T_MAX = (256, 512) if small else (1500, 2100)
+    PAD = 512
+    N_TR = 6
+    steps_warmup, steps_measure = (2, 4) if small else (3, 20)
+
+    cfg = get_cfg_defaults()
+    if small:
+        cfg.model.ft.stages = [1, 2, 4, 8]
+        cfg.model.ft.pooling_layers = [0, 1, 2, 3]
+
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(B):
+        T = int(rng.randint(T_MIN, T_MAX + 1))
+        transcript = rng.randint(0, M, size=N_TR).astype(np.int64)
+        samples.append(
+            Sample(
+                feats=rng.randn(T, D).astype(np.float32),
+                gt_label=rng.randint(0, M, size=T).astype(np.int64),
+                transcript=transcript,
+                transcript_tf_input=create_tf_input(transcript, sos_i=M + 1),
+                transcript_tf_target=create_tf_target(transcript, eos_i=M),
+                video_name=f"bench_{i}",
+            )
+        )
+    batch = collate_padded(samples, n_max=30, pad_multiple=PAD)
+    model = create_model(cfg, num_classes=M, max_decoding_steps=31,
+                         input_feature_size=D)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    tx = create_optimizer(cfg, model.param_partition(params))
+    opt_state = tx.init(params)
+
+    import optax
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, rng, arrays):
+        def loss_fn(p):
+            fwd = model.forward(p, arrays, rng=rng, train=True,
+                                teacher_forcing=True)
+            return model.loss(fwd, arrays, teacher_forcing=True).main
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    arrays = batch_to_arrays(batch)
+    key = jax.random.PRNGKey(1)
+
+    for i in range(steps_warmup):
+        key, k = jax.random.split(key)
+        params, opt_state = train_step(params, opt_state, k, arrays)
+    jax.block_until_ready(params)
+
+    t0 = time.perf_counter()
+    for i in range(steps_measure):
+        key, k = jax.random.split(key)
+        params, opt_state = train_step(params, opt_state, k, arrays)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    train_vps = B * steps_measure / dt
+
+    # secondary: free-decode forward + batched dense Viterbi (eval path)
+    fwd_fn = jax.jit(
+        lambda p, a: model.forward(p, a, train=False, teacher_forcing=False)
+    )
+    fwd = jax.block_until_ready(fwd_fn(params, arrays))  # compile
+    t0 = time.perf_counter()
+    reps = 1 if small else 3
+    for _ in range(reps):
+        fwd = jax.block_until_ready(fwd_fn(params, arrays))
+        seg_lp = jax.nn.log_softmax(fwd.segmentation, axis=-1)
+        n_steps = np.asarray(fwd.n_steps)
+        tokens = np.asarray(fwd.tokens)
+        trs = np.zeros((B, 30), np.int32)
+        n_valid = np.zeros(B, np.int32)
+        lambdas = np.ones((B, M), np.float32)
+        for i in range(B):
+            k_i = max(int(n_steps[i]) - 1, 1)
+            tr = np.clip(tokens[i, :k_i], 0, M - 1)
+            trs[i, :k_i] = tr
+            n_valid[i] = k_i
+            lambdas[i, :] = float(batch.num_frames[i]) / k_i
+        dense_viterbi_decode_batch(
+            np.asarray(seg_lp), batch.num_frames, trs, n_valid, lambdas,
+            frame_sampling=30,
+        )
+    eval_vps = B * reps / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_videos_per_sec_per_chip",
+                "value": round(train_vps, 3),
+                "unit": "videos/s",
+                "vs_baseline": round(train_vps / BASELINE_VIDEOS_PER_SEC, 3),
+                "batch_size": B,
+                "eval_viterbi_videos_per_sec": round(eval_vps, 3),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

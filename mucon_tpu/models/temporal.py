@@ -30,10 +30,16 @@ from mucon_tpu.models.layers import mask_time, torch_linear_init
 
 
 def shift_time(x, offset: int):
-    """x[:, t + offset, :] with zero padding (time-shifted view)."""
+    """x[:, t + offset, :] with zero padding (time-shifted view).
+
+    When |offset| >= T (a dilation wider than the pooled sequence — happens
+    for the late 512/1024-dilation layers on short videos) every tap falls
+    in the zero padding."""
     if offset == 0:
         return x
     B, T, C = x.shape
+    if abs(offset) >= T:
+        return jnp.zeros_like(x)
     if offset > 0:
         return jnp.pad(x[:, offset:], ((0, 0), (0, offset), (0, 0)))
     return jnp.pad(x[:, :offset], ((0, 0), (-offset, 0), (0, 0)))

@@ -1,0 +1,19 @@
+from mucon_tpu.parallel.mesh import (
+    batch_specs,
+    make_mesh,
+    make_sharded_forward,
+    make_sharded_train_step,
+    mesh_from_config,
+    pad_batch_to_multiple,
+    shard_batch_arrays,
+)
+
+__all__ = [
+    "make_mesh",
+    "mesh_from_config",
+    "batch_specs",
+    "shard_batch_arrays",
+    "pad_batch_to_multiple",
+    "make_sharded_train_step",
+    "make_sharded_forward",
+]

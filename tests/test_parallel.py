@@ -1,0 +1,91 @@
+"""Sharded-path tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mucon_tpu.config import get_cfg_defaults
+from mucon_tpu.data import collate_padded
+from mucon_tpu.harness.optim import create_optimizer
+from mucon_tpu.models import batch_to_arrays, create_model
+from mucon_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    pad_batch_to_multiple,
+    shard_batch_arrays,
+)
+from tests.test_model import M, D, NMAX, make_sample, small_cfg
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_cfg()
+    rng = np.random.RandomState(0)
+    samples = [make_sample(rng, 48 + 16 * i, 3, f"v{i}") for i in range(8)]
+    batch = collate_padded(samples, n_max=NMAX, pad_multiple=64)
+    model = create_model(cfg, num_classes=M, max_decoding_steps=NMAX + 1,
+                         input_feature_size=D)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    return cfg, model, params, batch
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_train_step_runs(setup, shape):
+    cfg, model, params, batch = setup
+    mesh = make_mesh(*shape)
+    tx = create_optimizer(cfg, model.param_partition(params))
+    before = jax.tree.map(np.asarray, params)  # snapshot (step donates)
+    params_in = jax.tree.map(jnp.array, params)
+    opt_state = tx.init(params_in)
+    step = make_sharded_train_step(model, tx, mesh, teacher_forcing=True)
+    arrays = shard_batch_arrays(mesh, batch_to_arrays(batch))
+    new_params, opt_state, loss = step(
+        params_in, opt_state, jax.random.PRNGKey(1), arrays
+    )
+    assert np.isfinite(float(loss.main))
+    # params actually moved
+    delta = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(before))
+    )
+    assert delta > 0
+
+
+def test_dp_sp_matches_single_device(setup):
+    """Sharding must not change the math: loss on a (2,2) mesh == loss on
+    a (1,1) mesh to float tolerance."""
+    cfg, model, params, batch = setup
+    arrays = batch_to_arrays(batch)
+
+    def loss_on(mesh_shape):
+        mesh = make_mesh(*mesh_shape)
+        tx = create_optimizer(cfg, model.param_partition(params))
+        params_in = jax.tree.map(jnp.array, params)  # fresh (step donates)
+        opt_state = tx.init(params_in)
+        step = make_sharded_train_step(model, tx, mesh, teacher_forcing=True)
+        sharded = shard_batch_arrays(mesh, arrays)
+        # same rng key -> same dropout pattern regardless of mesh
+        _, _, loss = step(params_in, opt_state, jax.random.PRNGKey(7), sharded)
+        return float(loss.main)
+
+    l_single = loss_on((1, 1))
+    l_dp = loss_on((4, 1))
+    l_dpsp = loss_on((2, 2))
+    assert l_dp == pytest.approx(l_single, rel=2e-4)
+    assert l_dpsp == pytest.approx(l_single, rel=2e-4)
+
+
+def test_pad_batch_to_multiple():
+    rng = np.random.RandomState(0)
+    samples = [make_sample(rng, 48, 3, f"v{i}") for i in range(3)]
+    batch = collate_padded(samples, n_max=NMAX, pad_multiple=16)
+    arrays = {k: np.asarray(v) for k, v in batch_to_arrays(batch).items()}
+    padded = pad_batch_to_multiple(arrays, 4)
+    assert padded["feats"].shape[0] == 4
+    assert padded["num_frames"][3] == 16
+    assert padded["transcript_len"][3] == 1
