@@ -104,10 +104,7 @@ def main():
     fwd_fn = jax.jit(
         lambda p, a: model.forward(p, a, train=False, teacher_forcing=False)
     )
-    fwd = jax.block_until_ready(fwd_fn(params, arrays))  # compile
-    t0 = time.perf_counter()
-    reps = 1 if small else 3
-    for _ in range(reps):
+    def eval_once():
         fwd = jax.block_until_ready(fwd_fn(params, arrays))
         seg_lp = jax.nn.log_softmax(fwd.segmentation, axis=-1)
         n_steps = np.asarray(fwd.n_steps)
@@ -125,6 +122,12 @@ def main():
             np.asarray(seg_lp), batch.num_frames, trs, n_valid, lambdas,
             frame_sampling=30,
         )
+
+    eval_once()  # compile forward + decode
+    reps = 1 if small else 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        eval_once()
     eval_vps = B * reps / (time.perf_counter() - t0)
 
     print(

@@ -94,9 +94,18 @@ class MuConModel:
         rng=None,
         train: bool = False,
         teacher_forcing: Optional[bool] = None,
+        use_pallas: Optional[bool] = None,
     ) -> MuConForwardOut:
         tf = self.teacher_forcing if teacher_forcing is None else teacher_forcing
         rngs = {"dropout": rng} if (train and rng is not None) else None
+
+        z = tz = None
+        if use_pallas is None:
+            use_pallas = bool(self.cfg.tpu.use_pallas)
+        # the fused Pallas encoder is forward-only: eval path, wavenet type
+        if use_pallas and not train and self.cfg.model.ft.type == "wavenet":
+            z, tz = self._encode_pallas(params, batch_arrays)
+
         return self.net.apply(
             {"params": params},
             batch_arrays["feats"],
@@ -105,7 +114,39 @@ class MuConModel:
             batch_arrays["transcript_len"],
             train=train,
             teacher_forcing=tf,
+            z_precomputed=z,
+            tz_precomputed=tz,
             rngs=rngs,
+        )
+
+    def _encode_pallas(self, params, batch_arrays):
+        """Fused Pallas WaveNet stack (mucon_tpu/ops/wavenet_pallas.py):
+        XLA does the big 2048->H input projection, the kernel runs the
+        residual stack entirely in VMEM."""
+        import jax as _jax
+        from mucon_tpu.models.layers import mask_time
+        from mucon_tpu.ops.wavenet_pallas import (
+            pack_wavenet_params,
+            wavenet_stack_pallas,
+        )
+
+        ft = params["ft"]
+        feats = batch_arrays["feats"]
+        lengths = batch_arrays["num_frames"]
+        w_in = ft["Conv1x1_0"]["kernel"]
+        b_in = ft["Conv1x1_0"]["bias"]
+        x = jnp.maximum(feats @ w_in + b_in, 0.0)
+        x = mask_time(x, lengths)
+        packed = pack_wavenet_params(ft, len(self.cfg.model.ft.stages))
+        return wavenet_stack_pallas(
+            x,
+            lengths,
+            *packed,
+            stages=tuple(self.cfg.model.ft.stages),
+            pooling_layers=tuple(self.cfg.model.ft.pooling_layers),
+            pooling_type=self.cfg.model.ft.pooling_type,
+            leaky=self.cfg.model.ft.leaky_relu,
+            interpret=_jax.default_backend() == "cpu",
         )
 
     def loss(

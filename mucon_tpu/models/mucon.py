@@ -190,6 +190,8 @@ class MuConNet(nn.Module):
         transcript_len,  # [B] true transcript lengths N_i
         train: bool = False,
         teacher_forcing: bool = True,
+        z_precomputed=None,  # optional externally computed encoder output
+        tz_precomputed=None,  # ... and its lengths (Pallas fused-stack path)
     ) -> MuConForwardOut:
         B, T, D = feats.shape
         S = self.max_decoding_steps
@@ -197,7 +199,9 @@ class MuConNet(nn.Module):
         H = self.enc_hidden
 
         # ---- temporal modeling (models.py:746-773) ----
-        if self.ft_type == "wavenet":
+        if z_precomputed is not None:
+            z, tz_len = z_precomputed, tz_precomputed
+        elif self.ft_type == "wavenet":
             ft = WaveNetBlock(
                 in_channels=D,
                 stages=tuple(self.ft_stages),
@@ -225,7 +229,8 @@ class MuConNet(nn.Module):
         else:
             raise Exception(f"Invalid ft type ({self.ft_type})")
 
-        z, tz_len = ft(feats.astype(self.dtype), num_frames, train)
+        if z_precomputed is None:
+            z, tz_len = ft(feats.astype(self.dtype), num_frames, train)
         if self.ft_last_gn:
             z = GroupNormMasked(
                 self.ft_last_gn_groups, self.ft_hidden, name="ft_last_gn"

@@ -62,7 +62,6 @@ def _poisson_rows(lam, lengths):
     return jnp.where(lengths > 0, out, NEG)
 
 
-@partial(jax.jit, static_argnames=("frame_sampling", "max_len", "n_max", "l_max"))
 def _dense_viterbi_scan(
     log_probs,  # [T_pad x M] framewise log-probs
     t_valid,  # [] int32: true frame count
@@ -137,6 +136,16 @@ def _dense_viterbi_scan(
     return best_score, best_l, bps, k_valid
 
 
+@partial(jax.jit, static_argnames=("frame_sampling", "max_len", "n_max", "l_max"))
+def _dense_viterbi_scan_batched(
+    log_probs, t_valid, transcripts, n_valid, class_lambdas, **static
+):
+    """One compiled program for the whole batch (vmap INSIDE jit — calling
+    vmap eagerly would dispatch the scan op-by-op)."""
+    fn = partial(_dense_viterbi_scan, **static)
+    return jax.vmap(fn)(log_probs, t_valid, transcripts, n_valid, class_lambdas)
+
+
 def dense_viterbi_decode(
     log_probs: np.ndarray,
     transcript: List[int],
@@ -183,22 +192,17 @@ def dense_viterbi_decode_batch(
     n_max = transcripts.shape[1]
     l_max = max_len // S  # largest l with stay-reachable length l*S <= max_len
 
-    fn = jax.vmap(
-        partial(
-            _dense_viterbi_scan,
-            frame_sampling=S,
-            max_len=max_len,
-            n_max=n_max,
-            l_max=l_max,
-        )
-    )
     score, best_l, bps, k_valid = jax.device_get(
-        fn(
+        _dense_viterbi_scan_batched(
             jnp.asarray(log_probs),
             jnp.asarray(t_valid, jnp.int32),
             jnp.asarray(transcripts, jnp.int32),
             jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(class_lambdas, jnp.float32),
+            frame_sampling=S,
+            max_len=max_len,
+            n_max=n_max,
+            l_max=l_max,
         )
     )
 

@@ -1,0 +1,110 @@
+"""Pallas kernel parity vs the XLA reference paths (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mucon_tpu.models.temporal import WaveNetBlock
+from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params, wavenet_stack_pallas
+
+
+def test_wavenet_stack_kernel_matches_flax():
+    rng = np.random.RandomState(0)
+    B, T, CIN, C = 2, 64, 8, 128
+    stages = (1, 2, 4)
+    pooling_layers = (0, 1)
+    lengths = np.array([64, 41], np.int32)
+    xs = rng.randn(B, T, CIN).astype(np.float32)
+
+    block = WaveNetBlock(
+        in_channels=CIN,
+        stages=stages,
+        out_dims=C,
+        pooling_layers=pooling_layers,
+        dropout_rate=0.0,
+    )
+    variables = block.init(
+        jax.random.PRNGKey(0), jnp.asarray(xs), jnp.asarray(lengths), False
+    )
+    params = variables["params"]
+    ref_out, ref_len = block.apply(
+        variables, jnp.asarray(xs), jnp.asarray(lengths), False
+    )
+
+    # kernel input = after the block's in-projection + relu + mask
+    w_in = params["Conv1x1_0"]["kernel"]
+    b_in = params["Conv1x1_0"]["bias"]
+    x_proj = jnp.maximum(jnp.asarray(xs) @ w_in + b_in, 0.0)
+
+    w3, b3, w1, b1, w_last, b_last = pack_wavenet_params(params, len(stages))
+    z, out_len = wavenet_stack_pallas(
+        x_proj,
+        jnp.asarray(lengths),
+        w3, b3, w1, b1, w_last, b_last,
+        stages=stages,
+        pooling_layers=pooling_layers,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_len), np.asarray(ref_len))
+    np.testing.assert_allclose(
+        np.asarray(z), np.asarray(ref_out), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_wavenet_stack_kernel_dilation_exceeds_t():
+    # late layers with dilation >= pooled length must still match
+    rng = np.random.RandomState(1)
+    B, T, C = 1, 32, 128
+    stages = (1, 4, 64)
+    pooling_layers = (0, 1)
+    lengths = np.array([32], np.int32)
+    x = rng.randn(B, T, C).astype(np.float32)
+
+    block = WaveNetBlock(
+        in_channels=C, stages=stages, out_dims=C,
+        pooling_layers=pooling_layers, dropout_rate=0.0,
+    )
+    variables = block.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(lengths), False
+    )
+    params = variables["params"]
+    ref_out, _ = block.apply(variables, jnp.asarray(x), jnp.asarray(lengths), False)
+
+    w_in = params["Conv1x1_0"]["kernel"]
+    b_in = params["Conv1x1_0"]["bias"]
+    x_proj = jnp.maximum(jnp.asarray(x) @ w_in + b_in, 0.0)
+    w3, b3, w1, b1, w_last, b_last = pack_wavenet_params(params, len(stages))
+    z, _ = wavenet_stack_pallas(
+        x_proj, jnp.asarray(lengths), w3, b3, w1, b1, w_last, b_last,
+        stages=stages, pooling_layers=pooling_layers, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_out), rtol=2e-4, atol=1e-5)
+
+
+def test_model_forward_with_pallas_encoder_matches():
+    from mucon_tpu.data import collate_padded
+    from mucon_tpu.models import batch_to_arrays, create_model
+    from tests.test_model import M, D, NMAX, make_sample, small_cfg
+
+    cfg = small_cfg()
+    rng = np.random.RandomState(3)
+    samples = [make_sample(rng, 64, 3, "a"), make_sample(rng, 41, 4, "b")]
+    batch = collate_padded(samples, n_max=NMAX, pad_multiple=16)
+    model = create_model(cfg, num_classes=M, max_decoding_steps=NMAX + 1,
+                         input_feature_size=D)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    arrays = batch_to_arrays(batch)
+
+    f_xla = model.forward(params, arrays, train=False, teacher_forcing=True,
+                          use_pallas=False)
+    f_pls = model.forward(params, arrays, train=False, teacher_forcing=True,
+                          use_pallas=True)
+    np.testing.assert_allclose(
+        np.asarray(f_pls.segmentation), np.asarray(f_xla.segmentation),
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pls.transcript), np.asarray(f_xla.transcript),
+        rtol=2e-4, atol=1e-4,
+    )
