@@ -100,6 +100,19 @@ def main():
     dt = time.perf_counter() - t0
     train_vps = B * steps_measure / dt
 
+    # same steps but paying host->device transfer of the feature batch each
+    # step (the realistic end-to-end number when the input pipeline feeds
+    # from host RAM)
+    host_feats = np.asarray(batch.feats)
+    t0 = time.perf_counter()
+    for i in range(steps_measure):
+        key, k = jax.random.split(key)
+        a = dict(arrays)
+        a["feats"] = jax.device_put(host_feats)
+        params, opt_state = train_step(params, opt_state, k, a)
+    jax.block_until_ready(params)
+    train_vps_h2d = B * steps_measure / (time.perf_counter() - t0)
+
     # secondary: free-decode forward + batched dense Viterbi (eval path)
     fwd_fn = jax.jit(
         lambda p, a: model.forward(p, a, train=False, teacher_forcing=False)
@@ -138,6 +151,7 @@ def main():
                 "unit": "videos/s",
                 "vs_baseline": round(train_vps / BASELINE_VIDEOS_PER_SEC, 3),
                 "batch_size": B,
+                "train_videos_per_sec_with_h2d": round(train_vps_h2d, 3),
                 "eval_viterbi_videos_per_sec": round(eval_vps, 3),
                 "device": str(jax.devices()[0]),
             }
