@@ -143,6 +143,10 @@ def get_cfg_defaults() -> ConfigNode:
     _C.tpu.pad_multiple = 512  # time padding granularity (must be %16==0)
     _C.tpu.max_frames = 8192  # bucket ceiling for padded batches
     _C.tpu.compute_dtype = "float32"  # "float32" | "bfloat16"
+    # device-resident feature cache: the dataset is static pre-extracted
+    # features, so padded batches can live in HBM and skip all host->device
+    # transfer after the first epoch (freezes batch composition per epoch)
+    _C.tpu.cache_batches = False
     _C.tpu.use_pallas = False  # fused Pallas kernels for hot ops
     _C.tpu.mesh = ConfigNode()
     _C.tpu.mesh.data = -1  # -1: all devices on the data axis

@@ -119,7 +119,14 @@ class PaddedBatchLoader:
         bucket_by_length: bool = True,
         drop_remainder: bool = False,
         prefetch: int = 2,
+        fixed_batches: bool = False,
     ):
+        """`fixed_batches=True` freezes batch COMPOSITION across epochs
+        (length-sorted groups) and shuffles only batch order — this makes
+        every batch a stable unit that a device-resident cache can key on
+        (see mucon_tpu/harness/trainer.py: the features are static
+        pre-extracted I3D, so after epoch 1 no host->device transfer is
+        needed at all)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_multiple = pad_multiple
@@ -128,6 +135,7 @@ class PaddedBatchLoader:
         self.bucket_by_length = bucket_by_length
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
+        self.fixed_batches = fixed_batches
         self.epoch = 0
         self.n_max = dataset.max_transcript_length
         # frame counts via mmap header reads — cheap one-time pass
@@ -144,6 +152,17 @@ class PaddedBatchLoader:
     def _batch_indices(self) -> List[np.ndarray]:
         n = len(self.dataset)
         rng = np.random.RandomState(self.seed + self.epoch)
+        if self.fixed_batches:
+            order = np.argsort(self._lengths, kind="stable")
+            batches = [
+                order[i : i + self.batch_size]
+                for i in range(0, n, self.batch_size)
+            ]
+            if self.drop_remainder and len(batches[-1]) < self.batch_size:
+                batches = batches[:-1]
+            if self.shuffle:
+                rng.shuffle(batches)
+            return batches
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         if self.bucket_by_length:
             # stable sort by length within the shuffled order: batches group

@@ -86,6 +86,7 @@ class SimpleTrainer:
 
         self.epoch_num = 0
         self.iter_num = 0
+        self._train_loader = None
 
         self.seed = cfg.system.seed if seed is None else seed
         self._rng = jax.random.PRNGKey(self.seed)
@@ -100,6 +101,15 @@ class SimpleTrainer:
         self.accumulate_grad_every = self.figure_accumulate_grad() or 1
         self._step_fns: Dict[bool, Any] = {}
         self._grad_fns: Dict[bool, Any] = {}
+
+        # device-resident batch cache (tpu.cache_batches): static features
+        # transfer once, epochs 2+ run with zero host->device traffic
+        self._batch_cache: Dict[tuple, dict] = {}
+        import jax.numpy as _jnp
+
+        self._feats_dtype = (
+            _jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else None
+        )
 
     # -- template methods (fandak contract, trainers.py:60-106) -------------
     def update_trainer_using_config(self) -> None:
@@ -122,14 +132,29 @@ class SimpleTrainer:
         return self.cfg.trainer.num_epochs
 
     def create_train_dataloader(self) -> PaddedBatchLoader:
-        return PaddedBatchLoader(
+        if self._train_loader is not None:
+            return self._train_loader
+        self._train_loader = PaddedBatchLoader(
             self.train_db,
             batch_size=max(1, self.cfg.tpu.batch_size),
             pad_multiple=self.cfg.tpu.pad_multiple,
             shuffle=True,
             seed=self.seed,
             prefetch=max(1, self.cfg.system.num_workers),
+            fixed_batches=self.cfg.tpu.cache_batches,
         )
+        return self._train_loader
+
+    def _batch_arrays(self, batch) -> dict:
+        if not self.cfg.tpu.cache_batches:
+            return batch_to_arrays(batch, feats_dtype=self._feats_dtype)
+        key = tuple(batch.video_names)
+        arrays = self._batch_cache.get(key)
+        if arrays is None:
+            arrays = batch_to_arrays(batch, feats_dtype=self._feats_dtype)
+            arrays = {k: jax.device_put(v) for k, v in arrays.items()}
+            self._batch_cache[key] = arrays
+        return arrays
 
     def figure_scheduler_input(self, eval_results) -> Dict[str, Any]:
         if self.cfg.trainer.scheduler.name == "plateau" and eval_results:
@@ -252,7 +277,7 @@ class SimpleTrainer:
         for it, batch in enumerate(loader):
             self.on_start_batch(self.iter_num, batch)
             self._rng, step_rng = jax.random.split(self._rng)
-            arrays = batch_to_arrays(batch)
+            arrays = self._batch_arrays(batch)
 
             if accumulate == 1:
                 self.params, self.opt_state, loss = self._step_fns[tf](

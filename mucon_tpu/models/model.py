@@ -230,10 +230,13 @@ def _log_softmax_np(x: np.ndarray) -> np.ndarray:
     return x - m - s
 
 
-def batch_to_arrays(batch: PaddedBatch) -> dict:
-    """Device-transferable dict view of a PaddedBatch."""
+def batch_to_arrays(batch: PaddedBatch, feats_dtype=None) -> dict:
+    """Device-transferable dict view of a PaddedBatch.  `feats_dtype`
+    (e.g. bfloat16) casts features before transfer — halves wire + HBM
+    bytes on the dominant tensor."""
+    feats = batch.feats if feats_dtype is None else batch.feats.astype(feats_dtype)
     return dict(
-        feats=jnp.asarray(batch.feats),
+        feats=jnp.asarray(feats),
         num_frames=jnp.asarray(batch.num_frames),
         gt_label=jnp.asarray(batch.gt_label),
         transcript=jnp.asarray(batch.transcript),

@@ -86,3 +86,32 @@ def test_train_test_resume(tiny_args):
     assert result2.vit_mof == pytest.approx(result.vit_mof, abs=1e-6)
     assert result2.s_mat_score == pytest.approx(result.s_mat_score, abs=1e-6)
     assert result2.y_mof == pytest.approx(result.y_mof, abs=1e-6)
+
+
+def test_cached_batches_training(tiny_args, tmp_path):
+    """tpu.cache_batches: epochs 2+ reuse device-resident arrays."""
+    import jax
+    from mucon_tpu.config import get_cfg_defaults
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import SimpleTrainer
+    from mucon_tpu.models import create_model
+
+    argv, run_root = tiny_args
+    cfg = get_cfg_defaults()
+    it = iter(argv)
+    for a in it:
+        if a == "--set":
+            k, v = next(it), next(it)
+            cfg.merge_from_list([k, v])
+    cfg.trainer.root = str(tmp_path)
+    cfg.tpu.cache_batches = True
+    cfg.trainer.num_epochs = 2
+
+    train_db = handel_dataset(cfg, train=True)
+    model = create_model(cfg, train_db.get_num_classes(),
+                         train_db.max_transcript_length + 1, train_db.feat_dim)
+    trainer = SimpleTrainer(cfg, "cache_test", train_db, model)
+    trainer.train()
+    assert len(trainer._batch_cache) >= 1
+    # cache did not grow beyond the fixed batch count
+    assert len(trainer._batch_cache) <= len(trainer.create_train_dataloader())
