@@ -34,7 +34,6 @@ def main():
     from mucon_tpu.data.utils import create_tf_input, create_tf_target
     from mucon_tpu.harness.optim import create_optimizer
     from mucon_tpu.models import batch_to_arrays, create_model
-    from mucon_tpu.ops.viterbi import dense_viterbi_decode_batch
 
     M, D = 48, 2048
     B = int(os.environ.get("BENCH_BS", "4" if small else "16"))
@@ -113,31 +112,29 @@ def main():
     jax.block_until_ready(params)
     train_vps_h2d = B * steps_measure / (time.perf_counter() - t0)
 
-    # secondary: free-decode forward + batched dense Viterbi (eval path)
-    fwd_fn = jax.jit(
-        lambda p, a: model.forward(p, a, train=False, teacher_forcing=False)
-    )
-    def eval_once():
-        fwd = jax.block_until_ready(fwd_fn(params, arrays))
-        seg_lp = jax.nn.log_softmax(fwd.segmentation, axis=-1)
-        n_steps = np.asarray(fwd.n_steps)
-        tokens = np.asarray(fwd.tokens)
-        trs = np.zeros((B, 30), np.int32)
-        n_valid = np.zeros(B, np.int32)
-        lambdas = np.ones((B, M), np.float32)
-        for i in range(B):
-            k_i = max(int(n_steps[i]) - 1, 1)
-            tr = np.clip(tokens[i, :k_i], 0, M - 1)
-            trs[i, :k_i] = tr
-            n_valid[i] = k_i
-            lambdas[i, :] = float(batch.num_frames[i]) / k_i
-        dense_viterbi_decode_batch(
-            np.asarray(seg_lp), batch.num_frames, trs, n_valid, lambdas,
-            frame_sampling=30,
-        )
+    # secondary: the fused eval program (free-decode forward + Poisson prep
+    # + dense Viterbi DP in one device call) + host traceback
+    from mucon_tpu.ops.eval_fused import build_fused_eval
+    from mucon_tpu.ops.viterbi import _host_traceback
 
-    eval_once()  # compile forward + decode
-    reps = 1 if small else 3
+    fused = build_fused_eval(model, teacher_forcing=False, frame_sampling=30)
+
+    def eval_once():
+        out = jax.device_get(fused(params, arrays))
+        for i in range(B):
+            n = int(out["n_dec"][i])
+            _host_traceback(
+                int(batch.num_frames[i]),
+                list(out["transcripts"][i, :n]),
+                float(out["vit_score"][i]),
+                int(out["vit_best_l"][i]),
+                out["vit_bps"][i],
+                int(out["vit_k_valid"][i]),
+                30,
+            )
+
+    eval_once()  # compile
+    reps = 1 if small else 5
     t0 = time.perf_counter()
     for _ in range(reps):
         eval_once()

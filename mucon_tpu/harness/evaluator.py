@@ -44,7 +44,7 @@ from mucon_tpu.metrics import (
     MoFAccuracyMetric,
 )
 from mucon_tpu.models.model import batch_to_arrays
-from mucon_tpu.ops.viterbi import dense_viterbi_decode_batch
+from mucon_tpu.ops.viterbi import _host_traceback, dense_viterbi_decode_batch
 from mucon_tpu.utils import make_same_size_interpolate
 
 
@@ -180,11 +180,136 @@ class MuConEvaluator:
 
     def evaluate(self, params) -> MuConEvaluatorResult:
         self.on_start_eval()
+        fused = (
+            self.viterbi_backend == "device"
+            and not self.viterbi_multi_length
+        )
         for batch in self.create_dataloader():
             arrays = batch_to_arrays(batch)
-            fwd = self.model.forward(params, arrays, train=False)
-            self.batch_eval_calculation(batch, fwd)
+            if fused:
+                self._batch_eval_fused(batch, params, arrays)
+            else:
+                fwd = self.model.forward(params, arrays, train=False)
+                self.batch_eval_calculation(batch, fwd)
         return self.on_finish_eval()
+
+    # -- fused device path ------------------------------------------------
+    def _get_fused_program(self):
+        tf = self.model.teacher_forcing
+        key = ("fused_eval", tf, self.frame_sampling)
+        prog = getattr(self, "_fused_cache", {}).get(key)
+        if prog is None:
+            from mucon_tpu.ops.eval_fused import build_fused_eval
+
+            prog = build_fused_eval(
+                self.model, teacher_forcing=tf, frame_sampling=self.frame_sampling
+            )
+            if not hasattr(self, "_fused_cache"):
+                self._fused_cache = {}
+            self._fused_cache[key] = prog
+        return prog
+
+    def _batch_eval_fused(self, batch: PaddedBatch, params, arrays) -> None:
+        """One device program per batch (mucon_tpu/ops/eval_fused.py); the
+        host does only tracebacks and numpy metric updates."""
+        import jax
+
+        out = jax.device_get(self._get_fused_program()(params, arrays))
+        M = self.test_db.get_num_classes()
+        B = batch.batch_size
+        tf = self.model.teacher_forcing
+
+        s_transcripts, s_rel_lengths, vit_labels = [], [], []
+        for i in range(B):
+            n = int(out["n_dec"][i])
+            s_transcripts.append([int(x) for x in out["transcripts"][i, :n]])
+            s_rel_lengths.append(out["rel_lengths"][i, :n])
+            if self.enable_viterbi:
+                res = _host_traceback(
+                    int(batch.num_frames[i]),
+                    list(out["transcripts"][i, :n]),
+                    float(out["vit_score"][i]),
+                    int(out["vit_best_l"][i]),
+                    out["vit_bps"][i],
+                    int(out["vit_k_valid"][i]),
+                    self.frame_sampling,
+                )
+                vit_labels.append(res.labels)
+            else:
+                vit_labels.append(None)
+
+        # reference predict() semantics for what the transcript metrics see:
+        # teacher forcing -> GT + EOS with EOS dropped == GT (same list)
+        self._feed_all_metrics(
+            batch,
+            y_pred_full=out["y_argmax"],
+            s_transcripts=s_transcripts,
+            s_rel_lengths=s_rel_lengths,
+            vit_labels=vit_labels,
+        )
+
+    def _feed_all_metrics(
+        self, batch, y_pred_full, s_transcripts, s_rel_lengths, vit_labels
+    ) -> None:
+        for i in range(batch.batch_size):
+            t_i = int(batch.num_frames[i])
+            n_i = int(batch.transcript_len[i])
+            target_labels = np.asarray(batch.gt_label[i, :t_i])
+            target_transcript = list(batch.transcript[i, :n_i])
+
+            self.s_mat_score_metric.add(
+                target_transcript=target_transcript,
+                predicted_transcript=s_transcripts[i],
+            )
+            self.s_abs_len_diff_metric.add(
+                target_transcript=target_transcript,
+                predicted_transcript=s_transcripts[i],
+            )
+
+            y_pred = np.asarray(y_pred_full[i][:t_i])
+            s_pred = create_segmentation_from_segments(
+                actions=np.asarray(s_transcripts[i], dtype=np.int64),
+                lengths=np.asarray(s_rel_lengths[i])[: len(s_transcripts[i])],
+                n_frames=t_i,
+            )
+            if s_pred.size == 0:
+                s_pred = np.zeros(t_i, np.int64)
+
+            s_same = make_same_size_interpolate(s_pred, target_labels)
+            y_same = make_same_size_interpolate(y_pred, target_labels)
+
+            for m in (
+                self.s_mof_metric, self.s_mof_nbg_metric, self.s_iod_metric,
+                self.s_iod_nbg_metric, self.s_iou_metric, self.s_iou_nbg_metric,
+                self.s_edit_score_metric, self.s_f1_score_metric,
+            ):
+                m(targets=target_labels, predictions=s_same)
+            for m in (
+                self.y_mof_metric, self.y_mof_nbg_metric, self.y_iod_metric,
+                self.y_iou_metric, self.y_edit_score_metric,
+                self.y_f1_score_metric,
+            ):
+                m(targets=target_labels, predictions=y_same)
+
+            if self.enable_viterbi and vit_labels[i] is not None:
+                vit_same = make_same_size_interpolate(vit_labels[i], target_labels)
+                for m in (
+                    self.vit_mof_metric, self.vit_mof_nbg_metric,
+                    self.vit_iod_metric, self.vit_iod_nbg_metric,
+                    self.vit_iou_metric, self.vit_iou_nbg_metric,
+                    self.vit_edit_score_metric, self.vit_f1_score_metric,
+                ):
+                    m(targets=target_labels, predictions=vit_same)
+                self.vit_segs.append(vit_same)
+            else:
+                self.vit_segs.append(s_same)
+
+            self.y_segs.append(y_same)
+            self.s_segs.append(s_same)
+            self.s_lens.append(np.asarray(s_rel_lengths[i]))
+            self.s_transcript.append(s_transcripts[i])
+            self.target_segs.append(target_labels)
+            self.target_transcripts.append(target_transcript)
 
     # -- per-batch ---------------------------------------------------------------
     def batch_eval_calculation(self, batch: PaddedBatch, fwd) -> None:

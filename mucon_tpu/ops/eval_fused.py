@@ -1,0 +1,96 @@
+"""Fused device-side evaluation program: forward + Viterbi prep + dense DP.
+
+The naive eval path pulls each video's [T x M] log-probs to the host
+(predict), re-derives the Poisson means there, and pushes the matrix back
+for decoding.  This program keeps everything on device in ONE jitted call:
+
+    forward (free or teacher-forced decode)
+    -> log_softmax framewise logits, argmax labels
+    -> s-head transcript + masked-softmax relative lengths
+    -> per-class Poisson means via the one-hot averaging trick
+       (reference evaluators.py:152-168, vectorized as a scatter-add)
+    -> batched dense Viterbi scan (mucon_tpu/ops/viterbi.py)
+
+Only small tensors reach the host: argmax labels [B x T] (int32), tokens,
+lengths, and the DP backpointers for the O(windows) traceback walk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
+                     max_len: int = 2000):
+    """Returns a jitted fn(params, arrays) -> dict of host-ready outputs."""
+    S = frame_sampling
+
+    @jax.jit
+    def run(params, arrays):
+        fwd = model.forward(
+            params, arrays, train=False, teacher_forcing=teacher_forcing
+        )
+        B, T, M = fwd.segmentation.shape
+        seg_lp = jax.nn.log_softmax(fwd.segmentation, axis=-1)
+        y_argmax = jnp.argmax(seg_lp, axis=-1).astype(jnp.int32)
+
+        n_max = arrays["transcript"].shape[1]
+        steps = jnp.arange(fwd.lengths.shape[1])
+
+        if teacher_forcing:
+            # alignment mode: GT transcript, lengths over the first N steps
+            trs = arrays["transcript"]
+            n_dec = arrays["transcript_len"]
+        else:
+            # free decode: EOS-dropped predicted transcript
+            n_dec = jnp.maximum(fwd.n_steps - 1, 1)
+            toks = fwd.tokens[:, :n_max]
+            trs = jnp.where(toks >= M, 0, toks)
+        trs = jnp.where(steps[None, :n_max] < n_dec[:, None], trs, 0)
+
+        # relative lengths: softmax over the first n_dec raw scalars
+        len_valid = steps[None, :] < n_dec[:, None]
+        logits = jnp.where(len_valid, fwd.lengths, -jnp.inf)
+        rel = jax.nn.softmax(logits, axis=1)  # [B x S_steps]
+
+        # per-class Poisson means, one-hot averaging (evaluators.py:152-168)
+        tr_1hot = jax.nn.one_hot(trs, M) * len_valid[:, :n_max, None]
+        lam_sum = jnp.einsum("bs,bsm->bm", rel[:, :n_max], tr_1hot)
+        lam = lam_sum * arrays["num_frames"].astype(jnp.float32)[:, None]
+        count = jnp.sum(tr_1hot, axis=1)
+        lam = lam / jnp.maximum(count, 1.0)
+        lam = jnp.where(lam == 0.0, 1.0, lam)
+
+        from mucon_tpu.ops.viterbi import _dense_viterbi_scan
+
+        l_max = max_len // S
+        decode = jax.vmap(
+            partial(
+                _dense_viterbi_scan,
+                frame_sampling=S,
+                max_len=max_len,
+                n_max=n_max,
+                l_max=l_max,
+            )
+        )
+        score, best_l, bps, k_valid = decode(
+            seg_lp, arrays["num_frames"], trs, n_dec, lam
+        )
+
+        return dict(
+            y_argmax=y_argmax,
+            tokens=fwd.tokens,
+            n_steps=fwd.n_steps,
+            rel_lengths=rel,
+            n_dec=n_dec,
+            transcripts=trs,
+            vit_score=score,
+            vit_best_l=best_l,
+            vit_bps=bps,
+            vit_k_valid=k_valid,
+        )
+
+    return run

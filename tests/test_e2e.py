@@ -115,3 +115,44 @@ def test_cached_batches_training(tiny_args, tmp_path):
     assert len(trainer._batch_cache) >= 1
     # cache did not grow beyond the fixed batch count
     assert len(trainer._batch_cache) <= len(trainer.create_train_dataloader())
+
+
+def test_fused_eval_matches_host_backend(tiny_args, tmp_path):
+    """The fused device eval program must produce the same 24-field result
+    as the per-video host path (backend='host' hypothesis-DP oracle)."""
+    import dataclasses
+    import jax
+    from mucon_tpu.config import get_cfg_defaults
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import MuConEvaluator
+    from mucon_tpu.models import create_model
+
+    argv, _ = tiny_args
+    cfg = get_cfg_defaults()
+    it = iter(argv)
+    for a in it:
+        if a == "--set":
+            k, v = next(it), next(it)
+            cfg.merge_from_list([k, v])
+    cfg.trainer.root = str(tmp_path)
+
+    test_db = handel_dataset(cfg, train=False)
+    model = create_model(cfg, test_db.get_num_classes(),
+                         test_db.max_transcript_length + 1, test_db.feat_dim)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    results = {}
+    for backend in ("device", "host"):
+        c = cfg.clone()
+        c.evaluator.viterbi.backend = backend
+        ev = MuConEvaluator(cfg=c, test_db=test_db, model=model)
+        ev.viterbi_mode(True)
+        results[backend] = dataclasses.asdict(ev.evaluate(params))
+
+    for k, dev_v in results["device"].items():
+        host_v = results["host"][k]
+        if isinstance(dev_v, tuple):
+            for a, b in zip(dev_v, host_v):
+                assert a == pytest.approx(b, abs=2e-3), k
+        else:
+            assert dev_v == pytest.approx(host_v, abs=2e-3), k
