@@ -334,6 +334,31 @@ class SimpleTrainer:
             self._get_checkpointing_folder(), self.params, self.opt_state, state
         )
 
+    def latest_checkpoint(self, run=None):
+        """(run, epoch) of the newest checkpoint, or None.  The recovery
+        primitive: a crashed run resumes with
+        `trainer.load_training(*trainer.latest_checkpoint())`."""
+        run = self.run_number if run is None else run
+        folder = self.root / self.exp_name / str(run) / "checkpoints"
+        if not folder.exists():
+            return None
+        epochs = [
+            int(p.name.split("_", 1)[1])
+            for p in folder.iterdir()
+            if p.name.startswith("epoch_") and (p / "model.msgpack").exists()
+        ]
+        return (str(run), max(epochs)) if epochs else None
+
+    def resume_latest(self, run=None) -> bool:
+        """Resume from the newest checkpoint if one exists (elastic
+        restart; continues the epoch loop from epoch_num + 1)."""
+        found = self.latest_checkpoint(run)
+        if found is None:
+            return False
+        self.load_training(*found)
+        self.epoch_num += 1  # the stored epoch finished; continue after it
+        return True
+
     def load_training(self, run, epoch: int) -> None:
         """Restore params/optimizer/counters from <root>/<exp>/<run>/
         checkpoints/epoch_<epoch>/ (reference test_mucon.py:78)."""

@@ -180,6 +180,8 @@ class MuConNet(nn.Module):
     dec_hidden: int = 128
     dec_embed_dropout: float = 0.25
     dtype: jnp.dtype = jnp.float32
+    remat_encoder: bool = False  # jax.checkpoint the conv stack (trade
+    # recompute for activation memory on very long videos)
 
     @nn.compact
     def __call__(
@@ -199,10 +201,8 @@ class MuConNet(nn.Module):
         H = self.enc_hidden
 
         # ---- temporal modeling (models.py:746-773) ----
-        if z_precomputed is not None:
-            z, tz_len = z_precomputed, tz_precomputed
-        elif self.ft_type == "wavenet":
-            ft = WaveNetBlock(
+        if self.ft_type == "wavenet":
+            ft_cls, ft_kwargs = WaveNetBlock, dict(
                 in_channels=D,
                 stages=tuple(self.ft_stages),
                 out_dims=self.ft_hidden,
@@ -212,24 +212,31 @@ class MuConNet(nn.Module):
                 dropout_rate=self.ft_dropout,
                 leaky=self.ft_leaky,
                 dtype=self.dtype,
-                name="ft",
             )
         elif self.ft_type == "mstcnpp":
-            ft = MSTCNPPFirstStage(
+            ft_cls, ft_kwargs = MSTCNPPFirstStage, dict(
                 input_dim=D,
                 num_layers=len(self.ft_stages),
                 num_f_maps=self.ft_hidden,
                 output_dim=self.ft_hidden,
                 pooling_layers=tuple(self.ft_pooling_layers),
                 dtype=self.dtype,
-                name="ft",
             )
         elif self.ft_type == "noft":
-            ft = NoFt(in_channels=D, out_dims=self.ft_hidden, dtype=self.dtype, name="ft")
+            ft_cls, ft_kwargs = NoFt, dict(
+                in_channels=D, out_dims=self.ft_hidden, dtype=self.dtype
+            )
         else:
             raise Exception(f"Invalid ft type ({self.ft_type})")
+        if self.remat_encoder:
+            # trade recompute for activation memory on very long videos
+            # (conv-stack activations dominate; args: (x, lengths, train))
+            ft_cls = nn.remat(ft_cls, static_argnums=(3,))
+        ft = ft_cls(**ft_kwargs, name="ft")
 
-        if z_precomputed is None:
+        if z_precomputed is not None:
+            z, tz_len = z_precomputed, tz_precomputed
+        else:
             z, tz_len = ft(feats.astype(self.dtype), num_frames, train)
         if self.ft_last_gn:
             z = GroupNormMasked(
@@ -344,4 +351,5 @@ def build_model(cfg, num_classes: int, max_decoding_steps: int, input_feature_si
         dec_hidden=cfg.model.fs.decoder.hidden_size,
         dec_embed_dropout=cfg.model.fs.decoder.embedding_dropout,
         dtype=dtype,
+        remat_encoder=cfg.tpu.remat,
     )

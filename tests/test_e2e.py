@@ -156,3 +156,37 @@ def test_fused_eval_matches_host_backend(tiny_args, tmp_path):
                 assert a == pytest.approx(b, abs=2e-3), k
         else:
             assert dev_v == pytest.approx(host_v, abs=2e-3), k
+
+
+def test_resume_latest(tiny_args, tmp_path):
+    import jax
+    from mucon_tpu.config import get_cfg_defaults
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import SimpleTrainer
+    from mucon_tpu.models import create_model
+
+    argv, _ = tiny_args
+    cfg = get_cfg_defaults()
+    it = iter(argv)
+    for a in it:
+        if a == "--set":
+            k, v = next(it), next(it)
+            cfg.merge_from_list([k, v])
+    cfg.trainer.root = str(tmp_path)
+    cfg.trainer.num_epochs = 2
+    cfg.trainer.save_every = 1
+
+    train_db = handel_dataset(cfg, train=True)
+    model = create_model(cfg, train_db.get_num_classes(),
+                         train_db.max_transcript_length + 1, train_db.feat_dim)
+    t1 = SimpleTrainer(cfg, "resume_test", train_db, model)
+    t1.train()
+
+    # a "restarted" trainer picks up from the newest checkpoint
+    t2 = SimpleTrainer(cfg, "resume_test", train_db, model, run_number=0)
+    assert t2.resume_latest() is True
+    assert t2.epoch_num == 2  # both epochs done; loop would be a no-op
+    assert t2.latest_checkpoint() == ("0", 1)
+    # fresh exp has nothing to resume
+    t3 = SimpleTrainer(cfg, "resume_test_empty", train_db, model)
+    assert t3.resume_latest() is False

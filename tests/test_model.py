@@ -193,3 +193,31 @@ def test_predict_teacher_forcing_and_free(model_and_batch):
         assert len(p.transcript) == k
         assert len(p.lengths) == k - 1
     model.set_teacher_forcing(True)
+
+
+def test_remat_encoder_matches(model_and_batch):
+    cfg, model, params, batch, _ = model_and_batch
+    import jax
+    from mucon_tpu.models import batch_to_arrays, create_model
+
+    cfg2 = cfg.clone()
+    cfg2.tpu.remat = True
+    model2 = create_model(cfg2, num_classes=M, max_decoding_steps=NMAX + 1,
+                          input_feature_size=D)
+    arrays = batch_to_arrays(batch)
+    f1 = model.forward(params, arrays, train=False, teacher_forcing=True)
+    f2 = model2.forward(params, arrays, train=False, teacher_forcing=True)
+    np.testing.assert_allclose(
+        np.asarray(f2.segmentation), np.asarray(f1.segmentation),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # grads flow through the rematted stack
+    def loss_fn(p):
+        fwd = model2.forward(p, arrays, rng=jax.random.PRNGKey(0), train=True,
+                             teacher_forcing=True)
+        return model2.loss(fwd, arrays, teacher_forcing=True).main
+
+    g = jax.grad(loss_fn)(params)
+    total = sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
