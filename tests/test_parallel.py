@@ -89,3 +89,29 @@ def test_pad_batch_to_multiple():
     assert padded["feats"].shape[0] == 4
     assert padded["num_frames"][3] == 16
     assert padded["transcript_len"][3] == 1
+
+
+def test_halo_exchange_conv_matches_unsharded():
+    """Explicit shard_map halo-exchange dilated conv == unsharded conv."""
+    from mucon_tpu.models.temporal import shift_time
+    from mucon_tpu.parallel.halo import make_sp_dilated_conv
+
+    rng = np.random.RandomState(0)
+    B, T, C = 2, 64, 8
+    for dilation in (1, 3, 8):
+        x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, C, C).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(C).astype(np.float32))
+
+        ref = (
+            shift_time(x, -dilation) @ w[0]
+            + x @ w[1]
+            + shift_time(x, dilation) @ w[2]
+            + b[None, None, :]
+        )
+
+        mesh = make_mesh(2, 4)  # 4-way sequence parallel
+        conv = make_sp_dilated_conv(mesh, dilation)
+        out = conv(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
