@@ -86,10 +86,14 @@ def main():
     arrays = batch_to_arrays(batch)
     key = jax.random.PRNGKey(1)
 
+    def sync(tree):
+        # force real completion: a scalar readback dependent on the result
+        return float(jnp.sum(jax.tree.leaves(tree)[0]))
+
     for i in range(steps_warmup):
         key, k = jax.random.split(key)
         params, opt_state = train_step(params, opt_state, k, arrays)
-    jax.block_until_ready(params)
+    sync(params)
 
     # device-rate measurement: K steps inside ONE jit (a lax.scan), so the
     # per-step host->device dispatch over the tunnel doesn't pollute the
@@ -103,23 +107,28 @@ def main():
                 fwd = model.forward(p, arrays, rng=k, train=True,
                                     teacher_forcing=True)
                 return model.loss(fwd, arrays, teacher_forcing=True).main
-            grads = jax.grad(loss_fn)(p)
+            loss, grads = jax.value_and_grad(loss_fn)(p)
             updates, o = tx.update(grads, o, p)
-            return (optax.apply_updates(p, updates), o), None
+            return (optax.apply_updates(p, updates), o), loss
 
         keys = jax.random.split(key, steps_measure)
-        (params, opt_state), _ = jax.lax.scan(body, (params, opt_state), keys)
-        return params, opt_state
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        return params, opt_state, losses[-1]
 
-    params, opt_state = train_k_steps(params, opt_state, key, arrays)  # compile
-    jax.block_until_ready(params)
+    # NOTE: timing always ends with a scalar device_get — block_until_ready
+    # on donated outputs has proven unreliable over the remote TPU tunnel
+    params, opt_state, loss = train_k_steps(params, opt_state, key, arrays)
+    float(loss)  # compile + sync
     reps_k = 1 if small else 3
     t0 = time.perf_counter()
     for _ in range(reps_k):
         key, k = jax.random.split(key)
-        params, opt_state = train_k_steps(params, opt_state, k, arrays)
-    jax.block_until_ready(params)
+        params, opt_state, loss = train_k_steps(params, opt_state, k, arrays)
+    final_loss = float(loss)
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), final_loss
     train_vps = B * steps_measure * reps_k / dt
 
     # same steps but paying host->device transfer of the feature batch each
@@ -132,7 +141,7 @@ def main():
         a = dict(arrays)
         a["feats"] = jax.device_put(host_feats)
         params, opt_state = train_step(params, opt_state, k, a)
-    jax.block_until_ready(params)
+    sync(params)
     train_vps_h2d = B * steps_measure / (time.perf_counter() - t0)
 
     # secondary: the fused eval program (free-decode forward + Poisson prep
