@@ -185,13 +185,31 @@ class MuConEvaluator:
             and not self.viterbi_multi_length
         )
         for batch in self.create_dataloader():
-            arrays = batch_to_arrays(batch)
+            arrays = self._batch_arrays(batch)
             if fused:
                 self._batch_eval_fused(batch, params, arrays)
             else:
                 fwd = self.model.forward(params, arrays, train=False)
                 self.batch_eval_calculation(batch, fwd)
         return self.on_finish_eval()
+
+    def _batch_arrays(self, batch: PaddedBatch) -> dict:
+        """Eval batches are fixed (shuffle=False): with tpu.cache_batches
+        the device arrays persist across the per-epoch evaluations."""
+        if not self.cfg.tpu.cache_batches:
+            return batch_to_arrays(batch)
+        if not hasattr(self, "_array_cache"):
+            self._array_cache = {}
+        key = tuple(batch.video_names)
+        arrays = self._array_cache.get(key)
+        if arrays is None:
+            import jax
+
+            arrays = {
+                k: jax.device_put(v) for k, v in batch_to_arrays(batch).items()
+            }
+            self._array_cache[key] = arrays
+        return arrays
 
     # -- fused device path ------------------------------------------------
     def _get_fused_program(self):
