@@ -111,6 +111,11 @@ class MuConEvaluator:
         self.viterbi_multi_length = cfg.evaluator.viterbi.multi_length
         self.frame_sampling = cfg.evaluator.viterbi.frame_sampling
         self.viterbi_backend = cfg.evaluator.viterbi.backend
+        # API-parity attribute (reference evaluators.py:80); grammar and
+        # length model are installed per video on the host backend path
+        self.vi_decoder = ViterbiDecoder(
+            None, None, frame_sampling=self.frame_sampling
+        )
 
         bg = test_db.background_class_ids
 
@@ -431,15 +436,12 @@ class MuConEvaluator:
         if self.viterbi_backend == "host":
             out = []
             for i in range(B):
-                t_i = int(batch.num_frames[i])
-                vd = ViterbiDecoder(
-                    SingleTranscriptGrammar(
-                        transcripts[i][: n_valid[i]], M
-                    ),
-                    PoissonModel(all_lambdas[i]),
-                    frame_sampling=self.frame_sampling,
+                self.vi_decoder.grammar = SingleTranscriptGrammar(
+                    transcripts[i][: n_valid[i]], M
                 )
-                _, labels, _ = vd.decode(
+                self.vi_decoder.length_model = PoissonModel(all_lambdas[i])
+                self.vi_decoder.set_multi_length(False)
+                _, labels, _ = self.vi_decoder.decode(
                     preds[i].segmentation_logits.astype(np.float64)
                 )
                 out.append(np.asarray(labels))
