@@ -62,6 +62,35 @@ def _poisson_rows(lam, lengths):
     return jnp.where(lengths > 0, out, NEG)
 
 
+def viterbi_precompute(
+    log_probs,  # [T_pad x M]
+    t_valid,  # []
+    transcript,  # [n_max]
+    class_lambdas,  # [M]
+    *,
+    frame_sampling: int,
+    max_len: int,
+    l_max: int,
+):
+    """Shared DP inputs: per-window per-position scores W [K x n_max],
+    Poisson table pois [n_max x l_max], and the true window count."""
+    S = frame_sampling
+    T_pad, M = log_probs.shape
+    K = T_pad // S  # static window count upper bound
+    k_valid = t_valid // S  # true window count
+
+    # per-window per-class scores (window sums, not cumsum diffs — better
+    # f32 conditioning on long videos): [K x M]
+    wsum = jnp.sum(log_probs[: K * S].reshape(K, S, M), axis=1)
+    W = wsum[:, jnp.clip(transcript, 0, M - 1)]  # [K x n_max]
+
+    lens = (jnp.arange(l_max) + 1) * S  # lengths in frames: S..l_max*S
+    lam = class_lambdas[jnp.clip(transcript, 0, M - 1)]  # [n_max]
+    pois = _poisson_rows(lam, lens)  # [n_max x l_max]
+    pois = jnp.where(lens[None, :] < max_len, pois, NEG)
+    return W, pois, k_valid
+
+
 def _dense_viterbi_scan(
     log_probs,  # [T_pad x M] framewise log-probs
     t_valid,  # [] int32: true frame count
@@ -77,20 +106,11 @@ def _dense_viterbi_scan(
     """Core fixed-shape DP. Returns (final_score, best_final_len_idx,
     backptr [K x n_max], n_windows)."""
     S = frame_sampling
-    T_pad, M = log_probs.shape
-    K = T_pad // S  # static window count upper bound
-    k_valid = t_valid // S  # true window count
-
-    # per-window per-class scores: [K x M]
-    wsum = jnp.sum(log_probs[: K * S].reshape(K, S, M), axis=1)
-    # gathered per transcript position: [K x n_max]
-    W = wsum[:, jnp.clip(transcript, 0, M - 1)]
-
-    # Poisson length scores per (position, length-bucket): [n_max x l_max]
-    lens = (jnp.arange(l_max) + 1) * S  # lengths in frames: S..l_max*S
-    lam = class_lambdas[jnp.clip(transcript, 0, M - 1)]  # [n_max]
-    pois = _poisson_rows(lam, lens)  # [n_max x l_max]
-    pois = jnp.where(lens[None, :] < max_len, pois, NEG)
+    W, pois, k_valid = viterbi_precompute(
+        log_probs, t_valid, transcript, class_lambdas,
+        frame_sampling=S, max_len=max_len, l_max=l_max,
+    )
+    K = W.shape[0]
 
     n_ids = jnp.arange(n_max)
     valid_n = n_ids < n_valid  # [n_max]

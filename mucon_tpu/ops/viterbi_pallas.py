@@ -1,0 +1,135 @@
+"""Dense single-transcript Viterbi DP as a single Pallas TPU kernel.
+
+The lax.scan formulation (mucon_tpu/ops/viterbi.py) dispatches K ~ T/30
+tiny [N x L] updates through XLA's loop machinery; this kernel runs the
+whole DP in ONE program per video: the [N_max x L_max] score table lives in
+VMEM scratch, the window loop is an in-kernel `fori_loop`, and only the
+backpointers stream out to HBM.  State is ~8 KB, far under VMEM; the
+per-window work is pure VPU max/add.
+
+Inputs are the same precomputed tensors the scan version uses:
+  W    [K x N_max]    per-window per-position frame scores
+  pois [N_max x L_max] Poisson length scores per (position, length bucket)
+Scalar-prefetch carries each video's window count and transcript length.
+Semantics are identical to `_dense_viterbi_scan` (tested in interpret mode
+and against the host oracle).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mucon_tpu.ops.viterbi import NEG
+
+
+def _viterbi_kernel(
+    max_len_over_s: int,  # static: largest stay-reachable bucket count
+    s: int,  # static: frame_sampling
+    max_len: int,  # static
+    kv_ref,  # scalar-prefetch [B] int32: window counts
+    nv_ref,  # scalar-prefetch [B] int32: transcript lengths
+    w_ref,  # [1 x K x N] window scores
+    pois_ref,  # [1 x N x L] poisson scores
+    score_ref,  # out [1 x 1]
+    bestl_ref,  # out [1 x 1] int32
+    bps_ref,  # out [1 x K-1 x N] int32
+    scores,  # VMEM scratch [N x L]
+):
+    b = pl.program_id(0)
+    k_valid = kv_ref[b]
+    n_valid = nv_ref[b]
+    K = w_ref.shape[1]
+    N, L = scores.shape
+
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (N, L), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)
+    valid_n_col = n_ids[:, :1] < n_valid  # [N x 1]
+
+    pois = pois_ref[0]  # [N x L]
+    # init: window 0 puts (n=0, l=1) at W[0, 0]
+    w0 = w_ref[0, 0, 0]
+    scores[:] = jnp.where((n_ids == 0) & (l_ids == 0), w0, NEG)
+
+    stay_ok = (l_ids + 2) * s <= max_len  # can the SOURCE bucket grow?
+
+    def body(k, _):
+        cur = scores[:]
+        w_k = w_ref[0, k, :]  # [N]
+        # stay: (n, l) -> (n, l+1): shift right along lanes
+        grown = pltpu.roll(jnp.where(stay_ok, cur, NEG), 1, 1)
+        grown = jnp.where(l_ids == 0, NEG, grown) + w_k[:, None]
+        # advance: best exit of position n-1
+        exit_scores = cur + pois
+        exit_best = jnp.max(exit_scores, axis=1, keepdims=True)  # [N x 1]
+        exit_arg = jnp.argmax(exit_scores, axis=1).astype(jnp.int32)  # [N]
+        adv = pltpu.roll(exit_best + w_k[:, None], 1, 0)  # from n-1
+        adv = jnp.where((n_ids[:, :1] == 0) | ~valid_n_col, NEG, adv)
+        bp = pltpu.roll(exit_arg[:, None], 1, 0)[:, 0]
+
+        new = jnp.where(l_ids == 0, adv, grown)
+        new = jnp.where(valid_n_col, new, NEG)
+
+        live = k < k_valid
+        scores[:] = jnp.where(live, new, cur)
+        bps_ref[0, k - 1, :] = bp
+        return 0
+
+    jax.lax.fori_loop(1, K, body, 0)
+
+    # finalize at the last transcript position (row select via masked max)
+    last_n = jnp.maximum(n_valid - 1, 0)
+    fin = scores[:] + pois  # [N x L]
+    fin_row = jnp.max(jnp.where(n_ids == last_n, fin, -jnp.inf), axis=0)
+    best_l = jnp.argmax(fin_row).astype(jnp.int32)
+    score_ref[0, 0] = jnp.max(fin_row)
+    bestl_ref[0, 0] = best_l
+
+
+def dense_viterbi_pallas(
+    window_scores,  # [B x K x N] f32
+    pois,  # [B x N x L] f32
+    k_valid,  # [B] int32
+    n_valid,  # [B] int32
+    frame_sampling: int,
+    max_len: int = 2000,
+    interpret: bool = False,
+):
+    """Returns (score [B], best_l [B], bps [B x K-1 x N])."""
+    B, K, N = window_scores.shape
+    L = pois.shape[2]
+    kernel = partial(_viterbi_kernel, L, frame_sampling, max_len)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, N), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, N, L), lambda b, *_: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda b, *_: (b, 0)),
+            pl.BlockSpec((1, 1), lambda b, *_: (b, 0)),
+            pl.BlockSpec((1, K - 1, N), lambda b, *_: (b, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, L), jnp.float32)],
+    )
+    score, best_l, bps = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, K - 1, N), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        k_valid.astype(jnp.int32),
+        n_valid.astype(jnp.int32),
+        window_scores,
+        pois,
+    )
+    return score[:, 0], best_l[:, 0], bps

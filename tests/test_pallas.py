@@ -108,3 +108,56 @@ def test_model_forward_with_pallas_encoder_matches():
         np.asarray(f_pls.transcript), np.asarray(f_xla.transcript),
         rtol=2e-4, atol=1e-4,
     )
+
+
+def test_viterbi_pallas_kernel_matches_scan():
+    from functools import partial as _partial
+    from mucon_tpu.ops.viterbi import (
+        _dense_viterbi_scan, viterbi_precompute,
+    )
+    from mucon_tpu.ops.viterbi_pallas import dense_viterbi_pallas
+
+    rng = np.random.RandomState(0)
+    B, T, M, S = 3, 600, 10, 30
+    max_len, l_max = 2000, 2000 // 30
+    n_max = 6
+    log_probs = np.log(
+        rng.dirichlet(np.ones(M), size=(B, T)).astype(np.float64) + 1e-8
+    ).astype(np.float32)
+    t_valid = np.array([600, 431, 299], np.int32)
+    transcripts = rng.randint(0, M, size=(B, n_max)).astype(np.int32)
+    n_valid = np.array([4, 6, 2], np.int32)
+    lambdas = rng.uniform(20, 200, size=(B, M)).astype(np.float32)
+
+    scan_fn = jax.vmap(
+        _partial(_dense_viterbi_scan, frame_sampling=S, max_len=max_len,
+                 n_max=n_max, l_max=l_max)
+    )
+    s_score, s_bestl, s_bps, s_kv = scan_fn(
+        jnp.asarray(log_probs), jnp.asarray(t_valid),
+        jnp.asarray(transcripts), jnp.asarray(n_valid), jnp.asarray(lambdas)
+    )
+
+    pre = jax.vmap(
+        _partial(viterbi_precompute, frame_sampling=S, max_len=max_len,
+                 l_max=l_max)
+    )
+    W, pois, k_valid = pre(
+        jnp.asarray(log_probs), jnp.asarray(t_valid),
+        jnp.asarray(transcripts), jnp.asarray(lambdas)
+    )
+    p_score, p_bestl, p_bps = dense_viterbi_pallas(
+        W, pois, k_valid, jnp.asarray(n_valid),
+        frame_sampling=S, max_len=max_len, interpret=True,
+    )
+
+    np.testing.assert_allclose(np.asarray(p_score), np.asarray(s_score),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(p_bestl), np.asarray(s_bestl))
+    # backpointers must agree on every live window at positions n >= 1
+    for b in range(B):
+        kv = int(np.asarray(s_kv)[b])
+        np.testing.assert_array_equal(
+            np.asarray(p_bps)[b, : kv - 1, 1:],
+            np.asarray(s_bps)[b, : kv - 1, 1:],
+        )
