@@ -225,7 +225,10 @@ class MuConEvaluator:
             from mucon_tpu.ops.eval_fused import build_fused_eval
 
             prog = build_fused_eval(
-                self.model, teacher_forcing=tf, frame_sampling=self.frame_sampling
+                self.model,
+                teacher_forcing=tf,
+                frame_sampling=self.frame_sampling,
+                use_pallas_viterbi=bool(self.cfg.tpu.use_pallas),
             )
             if not hasattr(self, "_fused_cache"):
                 self._fused_cache = {}

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 
 def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
-                     max_len: int = 2000):
+                     max_len: int = 2000, use_pallas_viterbi: bool = False):
     """Returns a jitted fn(params, arrays) -> dict of host-ready outputs."""
     S = frame_sampling
 
@@ -64,21 +64,39 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
         lam = lam / jnp.maximum(count, 1.0)
         lam = jnp.where(lam == 0.0, 1.0, lam)
 
-        from mucon_tpu.ops.viterbi import _dense_viterbi_scan
-
         l_max = max_len // S
-        decode = jax.vmap(
-            partial(
-                _dense_viterbi_scan,
-                frame_sampling=S,
-                max_len=max_len,
-                n_max=n_max,
-                l_max=l_max,
+        if use_pallas_viterbi:
+            from mucon_tpu.ops.viterbi import viterbi_precompute
+            from mucon_tpu.ops.viterbi_pallas import dense_viterbi_pallas
+
+            W, pois, k_valid = jax.vmap(
+                partial(
+                    viterbi_precompute,
+                    frame_sampling=S,
+                    max_len=max_len,
+                    l_max=l_max,
+                )
+            )(seg_lp, arrays["num_frames"], trs, lam)
+            score, best_l, bps = dense_viterbi_pallas(
+                W, pois, k_valid, n_dec,
+                frame_sampling=S, max_len=max_len,
+                interpret=jax.default_backend() == "cpu",
             )
-        )
-        score, best_l, bps, k_valid = decode(
-            seg_lp, arrays["num_frames"], trs, n_dec, lam
-        )
+        else:
+            from mucon_tpu.ops.viterbi import _dense_viterbi_scan
+
+            decode = jax.vmap(
+                partial(
+                    _dense_viterbi_scan,
+                    frame_sampling=S,
+                    max_len=max_len,
+                    n_max=n_max,
+                    l_max=l_max,
+                )
+            )
+            score, best_l, bps, k_valid = decode(
+                seg_lp, arrays["num_frames"], trs, n_dec, lam
+            )
 
         return dict(
             y_argmax=y_argmax,

@@ -161,3 +161,29 @@ def test_viterbi_pallas_kernel_matches_scan():
             np.asarray(p_bps)[b, : kv - 1, 1:],
             np.asarray(s_bps)[b, : kv - 1, 1:],
         )
+
+
+def test_fused_eval_with_pallas_viterbi_matches():
+    from mucon_tpu.data import collate_padded
+    from mucon_tpu.models import batch_to_arrays, create_model
+    from mucon_tpu.ops.eval_fused import build_fused_eval
+    from tests.test_model import M, D, NMAX, make_sample, small_cfg
+
+    cfg = small_cfg()
+    rng = np.random.RandomState(11)
+    samples = [make_sample(rng, 120, 3, "a"), make_sample(rng, 90, 4, "b")]
+    batch = collate_padded(samples, n_max=NMAX, pad_multiple=16)
+    model = create_model(cfg, num_classes=M, max_decoding_steps=NMAX + 1,
+                         input_feature_size=D)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    arrays = batch_to_arrays(batch)
+
+    f_scan = build_fused_eval(model, False, frame_sampling=10)
+    f_pls = build_fused_eval(model, False, frame_sampling=10,
+                             use_pallas_viterbi=True)
+    a = jax.device_get(f_scan(params, arrays))
+    b = jax.device_get(f_pls(params, arrays))
+    np.testing.assert_allclose(b["vit_score"], a["vit_score"], rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_array_equal(b["vit_best_l"], a["vit_best_l"])
+    np.testing.assert_array_equal(b["y_argmax"], a["y_argmax"])
