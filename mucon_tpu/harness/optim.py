@@ -75,6 +75,40 @@ def clip_per_parameter(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def torch_adam_amsgrad(
+    learning_rate, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """Adam(amsgrad=True) with torch's exact formulation.
+
+    optax.amsgrad maxes the bias-CORRECTED second moment; torch maxes the
+    raw one and bias-corrects afterwards — the trajectories diverge from
+    step 2.  The reference trains with torch semantics (trainers.py:31-34),
+    so we reproduce them (verified step-for-step in tests/test_optim.py).
+    """
+
+    def init_fn(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
+        return {"count": jnp.zeros((), jnp.int32), "m": zeros(), "v": zeros(),
+                "vmax": zeros()}
+
+    def update_fn(updates, state, params=None):
+        count = state["count"] + 1
+        b1c = 1.0 - b1 ** count.astype(jnp.float32)
+        b2c = 1.0 - b2 ** count.astype(jnp.float32)
+        m = jax.tree.map(lambda mu, g: b1 * mu + (1 - b1) * g, state["m"], updates)
+        v = jax.tree.map(lambda nu, g: b2 * nu + (1 - b2) * g * g, state["v"], updates)
+        vmax = jax.tree.map(jnp.maximum, state["vmax"], v)
+
+        def step(mu, vm):
+            denom = jnp.sqrt(vm) / jnp.sqrt(b2c) + eps
+            return -(learning_rate / b1c) * mu / denom
+
+        out = jax.tree.map(step, m, vmax)
+        return out, {"count": count, "m": m, "v": v, "vmax": vmax}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def create_optimizer(cfg, partition_labels) -> optax.GradientTransformation:
     """Build the full update chain; learning rate injected as a hyperparam
     so host-side schedulers can set it per epoch without retracing."""
@@ -98,7 +132,7 @@ def create_optimizer(cfg, partition_labels) -> optax.GradientTransformation:
         if name == "SGD":
             inner = optax.sgd(learning_rate, momentum=cfg.trainer.momentum or None)
         elif name == "Adam":
-            inner = optax.amsgrad(learning_rate)
+            inner = torch_adam_amsgrad(learning_rate)
         else:
             raise Exception("Invalid optimizer name (%s)" % name)
         return optax.chain(*chain, inner)
