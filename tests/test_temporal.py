@@ -145,3 +145,83 @@ def test_masked_group_norm_matches_torch():
             ref = gn(torch.tensor(x[i : i + 1, :L].transpose(0, 2, 1)))
         ref = ref[0].numpy().T
         np.testing.assert_allclose(ours[i, :L], ref, rtol=2e-4, atol=1e-5)
+
+
+class TorchMSTCNOracle(tnn.Module):
+    """Independent torch implementation of the MS-TCN++ first stage
+    (dual-dilation conv pair -> fusion 1x1 -> relu -> +residual, pools)."""
+
+    def __init__(self, cin, fmaps, cout, num_layers, pooling_layers):
+        super().__init__()
+        self.inp = tnn.Conv1d(cin, fmaps, 1)
+        self.d1 = tnn.ModuleList(
+            tnn.Conv1d(fmaps, fmaps, 3, padding=2 ** (num_layers - 1 - i),
+                       dilation=2 ** (num_layers - 1 - i))
+            for i in range(num_layers)
+        )
+        self.d2 = tnn.ModuleList(
+            tnn.Conv1d(fmaps, fmaps, 3, padding=2 ** i, dilation=2 ** i)
+            for i in range(num_layers)
+        )
+        self.fuse = tnn.ModuleList(
+            tnn.Conv1d(2 * fmaps, fmaps, 1) for _ in range(num_layers)
+        )
+        self.out = tnn.Conv1d(fmaps, cout, 1)
+        self.pooling_layers = pooling_layers
+        self.num_layers = num_layers
+
+    def forward(self, x):
+        f = self.inp(x)
+        for i in range(self.num_layers):
+            y = self.fuse[i](torch.cat([self.d1[i](f), self.d2[i](f)], 1))
+            f = TF.relu(y) + f
+            if i in self.pooling_layers:
+                f = TF.max_pool1d(f, kernel_size=2)
+        return self.out(f)
+
+
+def test_mstcnpp_matches_torch_oracle():
+    from mucon_tpu.models.temporal import MSTCNPPFirstStage
+
+    rng = np.random.RandomState(3)
+    cin, fmaps, num_layers = 6, 8, 3
+    pooling_layers = (1,)
+    B, T = 2, 40
+    lengths = np.array([40, 27])
+    xs = rng.randn(B, T, cin).astype(np.float32)
+
+    oracle = TorchMSTCNOracle(cin, fmaps, fmaps, num_layers, pooling_layers)
+
+    def conv1x1(c):
+        return dict(kernel=jnp.asarray(c.weight.detach().numpy()[:, :, 0].T),
+                    bias=jnp.asarray(c.bias.detach().numpy()))
+
+    def conv3(c):
+        w = c.weight.detach().numpy()
+        return dict(kernel=jnp.asarray(np.transpose(w, (2, 1, 0))),
+                    bias=jnp.asarray(c.bias.detach().numpy()))
+
+    params = {"Conv1x1_0": conv1x1(oracle.inp),
+              "Conv1x1_4": conv1x1(oracle.out)}
+    for i in range(num_layers):
+        params[f"DilatedConv3_{2 * i}"] = conv3(oracle.d1[i])
+        params[f"DilatedConv3_{2 * i + 1}"] = conv3(oracle.d2[i])
+        params[f"Conv1x1_{i + 1}"] = conv1x1(oracle.fuse[i])
+
+    mod = MSTCNPPFirstStage(
+        input_dim=cin, num_layers=num_layers, num_f_maps=fmaps,
+        output_dim=fmaps, pooling_layers=pooling_layers, dropout_rate=0.0,
+    )
+    out, out_len = mod.apply({"params": params}, jnp.asarray(xs),
+                             jnp.asarray(lengths), False)
+    out = np.asarray(out)
+
+    for i in range(B):
+        L = int(lengths[i])
+        with torch.no_grad():
+            ref = oracle(torch.tensor(xs[i:i + 1, :L].transpose(0, 2, 1)))
+        ref = ref[0].numpy().T
+        L2 = ref.shape[0]
+        assert int(out_len[i]) == L2
+        np.testing.assert_allclose(out[i, :L2], ref, rtol=1e-4, atol=1e-5)
+        assert np.all(out[i, L2:] == 0)
