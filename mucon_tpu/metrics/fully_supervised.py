@@ -38,6 +38,14 @@ def labels_and_spans(
 def levenshtein(a: Sequence, b: Sequence, norm: bool = False) -> float:
     """Unit-cost edit distance; norm -> (1 - d/max_len) * 100."""
     la, lb = len(a), len(b)
+    from mucon_tpu.native import levenshtein_native
+
+    d_native = levenshtein_native(a, b)
+    if d_native is not None:
+        if norm:
+            return (1.0 - d_native / max(la, lb)) * 100.0 if max(la, lb) > 0 else 100.0
+        return float(d_native)
+
     prev = np.arange(lb + 1, dtype=np.float64)
     for i in range(1, la + 1):
         cur = np.empty(lb + 1)

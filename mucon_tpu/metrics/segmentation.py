@@ -39,6 +39,14 @@ def _overlap_score(
 ) -> float:
     """Best per-GT-segment overlap, averaged. union_denominator selects IoU
     vs IoD (denominator = union vs predicted-segment length)."""
+    from mucon_tpu.native import overlap_score_native
+
+    native = overlap_score_native(
+        prediction, target, list(ignore_ids), union_denominator
+    )
+    if native is not None:
+        return float(native)
+
     ignore = set(int(i) for i in ignore_ids)
     t_iv, t_lb = segment_intervals_and_labels(target)
     p_iv, p_lb = segment_intervals_and_labels(prediction)

@@ -18,6 +18,12 @@ from mucon_tpu.metrics.base import Metric
 
 def levenshtein_matches(a: Sequence, b: Sequence) -> Tuple[int, int]:
     """(edit_distance, matches) for a max-match minimal alignment."""
+    from mucon_tpu.native import levenshtein_matches_native
+
+    native = levenshtein_matches_native(a, b)
+    if native is not None:
+        return native
+
     la, lb = len(a), len(b)
     # dp over (cost, -matches) lexicographic minimum
     INF = la + lb + 1
