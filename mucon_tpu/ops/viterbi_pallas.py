@@ -111,8 +111,9 @@ def dense_viterbi_pallas(
             pl.BlockSpec((1, N, L), lambda b, *_: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda b, *_: (b, 0)),
-            pl.BlockSpec((1, 1), lambda b, *_: (b, 0)),
+            # scalars live in SMEM (TPU tiling forbids tiny VMEM blocks)
+            pl.BlockSpec((1, 1), lambda b, *_: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, *_: (b, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K - 1, N), lambda b, *_: (b, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((N, L), jnp.float32)],
