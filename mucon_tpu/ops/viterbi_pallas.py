@@ -35,8 +35,8 @@ def _viterbi_kernel(
     nv_ref,  # scalar-prefetch [B] int32: transcript lengths
     w_ref,  # [1 x K x N] window scores
     pois_ref,  # [1 x N x L] poisson scores
-    score_ref,  # out [1 x 1]
-    bestl_ref,  # out [1 x 1] int32
+    score_ref,  # out [1 x 8 x 128] (scalar at [0,0,0]; tile-padded)
+    bestl_ref,  # out [1 x 8 x 128] int32 (scalar at [0,0,0])
     bps_ref,  # out [1 x K-1 x N] int32
     scores,  # VMEM scratch [N x L]
 ):
@@ -86,8 +86,8 @@ def _viterbi_kernel(
     fin = scores[:] + pois  # [N x L]
     fin_row = jnp.max(jnp.where(n_ids == last_n, fin, -jnp.inf), axis=0)
     best_l = jnp.argmax(fin_row).astype(jnp.int32)
-    score_ref[0, 0] = jnp.max(fin_row)
-    bestl_ref[0, 0] = best_l
+    score_ref[0] = jnp.full((8, 128), jnp.max(fin_row), jnp.float32)
+    bestl_ref[0] = jnp.full((8, 128), best_l, jnp.int32)
 
 
 def dense_viterbi_pallas(
@@ -111,9 +111,10 @@ def dense_viterbi_pallas(
             pl.BlockSpec((1, N, L), lambda b, *_: (b, 0, 0)),
         ],
         out_specs=[
-            # scalars live in SMEM (TPU tiling forbids tiny VMEM blocks)
-            pl.BlockSpec((1, 1), lambda b, *_: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, *_: (b, 0), memory_space=pltpu.SMEM),
+            # "scalar" outputs are tile-padded (TPU lowering requires the
+            # trailing block dims be (8, 128)-aligned); value sits at [0, 0]
+            pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((1, K - 1, N), lambda b, *_: (b, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((N, L), jnp.float32)],
@@ -122,8 +123,8 @@ def dense_viterbi_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, K - 1, N), jnp.int32),
         ],
         interpret=interpret,
@@ -133,4 +134,4 @@ def dense_viterbi_pallas(
         window_scores,
         pois,
     )
-    return score[:, 0], best_l[:, 0], bps
+    return score[:, 0, 0], best_l[:, 0, 0], bps
