@@ -105,10 +105,8 @@ class SimpleTrainer:
         # device-resident batch cache (tpu.cache_batches): static features
         # transfer once, epochs 2+ run with zero host->device traffic
         self._batch_cache: Dict[tuple, dict] = {}
-        import jax.numpy as _jnp
-
         self._feats_dtype = (
-            _jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else None
+            jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else None
         )
 
     # -- template methods (fandak contract, trainers.py:60-106) -------------

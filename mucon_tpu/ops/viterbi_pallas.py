@@ -28,7 +28,6 @@ from mucon_tpu.ops.viterbi import NEG
 
 
 def _viterbi_kernel(
-    max_len_over_s: int,  # static: largest stay-reachable bucket count
     s: int,  # static: frame_sampling
     max_len: int,  # static
     kv_ref,  # scalar-prefetch [B] int32: window counts
@@ -102,7 +101,7 @@ def dense_viterbi_pallas(
     """Returns (score [B], best_l [B], bps [B x K-1 x N])."""
     B, K, N = window_scores.shape
     L = pois.shape[2]
-    kernel = partial(_viterbi_kernel, L, frame_sampling, max_len)
+    kernel = partial(_viterbi_kernel, frame_sampling, max_len)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
