@@ -12,7 +12,11 @@ Inputs are the same precomputed tensors the scan version uses:
   pois [N_max x L_max] Poisson length scores per (position, length bucket)
 Scalar-prefetch carries each video's window count and transcript length.
 Semantics are identical to `_dense_viterbi_scan` (tested in interpret mode
-and against the host oracle).
+and against the host oracle).  Hardware note: on unreachable states every
+candidate is the same absorbed NEG value, and Mosaic's argmax breaks the
+tie by LAST index where XLA picks FIRST — those backpointers are never
+visited by the traceback (scores and final states match exactly), so
+decoded labels are identical.
 """
 
 from __future__ import annotations
