@@ -1,0 +1,101 @@
+"""Harness variants: grad accumulation, TF-experiments trainer,
+alignment evaluator (teacher-forced fused eval)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+
+from mucon_tpu.config import get_cfg_defaults
+from mucon_tpu.data import handel_dataset
+from mucon_tpu.harness import (
+    MuConAlignmentEvaluator,
+    MuConEvaluator,
+    SimpleTrainer,
+    TrainerForTFExperiments,
+)
+from mucon_tpu.models import create_model
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(tmp_path_factory.mktemp("data"))
+    cfg.dataset.synthetic.num_videos = 8
+    cfg.dataset.synthetic.num_classes = 6
+    cfg.dataset.synthetic.feat_dim = 16
+    cfg.dataset.synthetic.min_len = 100
+    cfg.dataset.synthetic.max_len = 300
+    cfg.trainer.root = str(tmp_path_factory.mktemp("runs"))
+    cfg.trainer.num_epochs = 1
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    cfg.tpu.batch_size = 2
+    cfg.tpu.pad_multiple = 64
+    cfg.evaluator.viterbi.frame_sampling = 10
+    train_db = handel_dataset(cfg, train=True)
+    test_db = handel_dataset(cfg, train=False)
+    model = create_model(cfg, train_db.get_num_classes(),
+                         train_db.max_transcript_length + 1, train_db.feat_dim)
+    return cfg, train_db, test_db, model
+
+
+def test_grad_accumulation_runs_and_learns(setup):
+    cfg, train_db, _, model = setup
+    cfg = cfg.clone()
+    cfg.trainer.accumulate_grad_every = 2
+    cfg.trainer.num_epochs = 2
+    t = SimpleTrainer(cfg, "accum_test", train_db, model)
+    p_before = jax.tree.map(np.asarray, t.params)
+    t.train()
+    delta = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(jax.tree.leaves(t.params), jax.tree.leaves(p_before))
+    )
+    assert delta > 0
+    assert t.iter_num == 2 * len(t.create_train_dataloader())
+
+
+def test_tf_experiments_trainer_switches(setup):
+    cfg, train_db, _, model = setup
+    t = TrainerForTFExperiments(
+        cfg.clone(), "tf_test", train_db, model, turnoff_tf_after_epoch=1
+    )
+    t.on_start_epoch(0)
+    assert model.teacher_forcing is True
+    t.on_start_epoch(1)
+    assert model.teacher_forcing is False
+    t.on_start_epoch(5)
+    assert model.teacher_forcing is False
+    model.set_teacher_forcing(True)
+
+
+def test_alignment_evaluator_teacher_forces(setup):
+    cfg, _, test_db, model = setup
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    align = MuConAlignmentEvaluator(cfg=cfg, test_db=test_db, model=model)
+    align.viterbi_mode(True)
+    res = align.evaluate(params)
+    # teacher forcing means predicted transcript == GT transcript exactly
+    assert res.s_mat_score == pytest.approx(1.0)
+    assert res.s_len_diff == 0.0
+    for k, v in dataclasses.asdict(res).items():
+        if isinstance(v, float):
+            assert np.isfinite(v), k
+    # alignment evaluation leaves the model in TF mode (reference behavior:
+    # on_start_eval sets it; training resets it per epoch)
+    assert model.teacher_forcing is True
+
+    free = MuConEvaluator(cfg=cfg, test_db=test_db, model=model)
+    free.viterbi_mode(True)
+    res2 = free.evaluate(params)
+    # free decoding from an untrained model can't match GT transcripts
+    assert res2.s_mat_score < 1.0
+    model.set_teacher_forcing(True)
