@@ -1,0 +1,146 @@
+"""Trainable fused-stack kernel: forward + gradient parity vs the XLA path
+(interpret mode; dropout off for exact comparison)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mucon_tpu.models.temporal import WaveNetBlock
+from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+from mucon_tpu.ops.wavenet_train_pallas import wavenet_stack_train
+
+STAGES = (1, 2, 4)
+POOLS = (0, 1)
+B, T, CIN, C = 2, 64, 8, 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(0)
+    lengths = np.array([64, 41], np.int32)
+    xs = rng.randn(B, T, CIN).astype(np.float32)
+    block = WaveNetBlock(
+        in_channels=CIN, stages=STAGES, out_dims=C,
+        pooling_layers=POOLS, dropout_rate=0.0,
+    )
+    variables = block.init(
+        jax.random.PRNGKey(0), jnp.asarray(xs), jnp.asarray(lengths), False
+    )
+    params = variables["params"]
+    w_in = params["Conv1x1_0"]["kernel"]
+    b_in = params["Conv1x1_0"]["bias"]
+    x_proj = jnp.maximum(jnp.asarray(xs) @ w_in + b_in, 0.0)
+    x_proj = x_proj * (jnp.arange(T)[None, :, None] < jnp.asarray(lengths)[:, None, None])
+    packed = pack_wavenet_params(params, len(STAGES))
+    return block, variables, xs, lengths, x_proj, packed
+
+
+def _kernel_loss(x_proj, lengths, packed, g_target):
+    w3, b3, w1, b1, wl, bl = packed
+    z = wavenet_stack_train(
+        x_proj, jnp.asarray(lengths), jnp.zeros(B, jnp.int32),
+        w3, b3, w1, b1, wl, bl,
+        STAGES, POOLS, 0.0, False, True,
+    )
+    return jnp.sum(z * g_target)
+
+
+def test_train_kernel_forward_matches(setup):
+    block, variables, xs, lengths, x_proj, packed = setup
+    ref_out, _ = block.apply(
+        variables, jnp.asarray(xs), jnp.asarray(lengths), False
+    )
+    w3, b3, w1, b1, wl, bl = packed
+    z = wavenet_stack_train(
+        x_proj, jnp.asarray(lengths), jnp.zeros(B, jnp.int32),
+        w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.0, False, True,
+    )
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_out),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_train_kernel_grads_match_xla(setup):
+    block, variables, xs, lengths, x_proj, packed = setup
+    rng = np.random.RandomState(1)
+    t_out = np.asarray(x_proj).shape[1] // 4
+    g_target = jnp.asarray(rng.randn(B, t_out, C).astype(np.float32))
+
+    # XLA reference: same loss through the flax stack taking x_proj as input
+    # (bypass the in-projection by inverting it is messy; instead grad wrt
+    # the PACKED params and x_proj via a stack-only apply)
+    def xla_loss(x_proj_in, packed_in):
+        w3, b3, w1, b1, wl, bl = packed_in
+        # rebuild the flax param tree from packed arrays
+        p = {"Conv1x1_1": {"kernel": wl, "bias": bl}}
+        for i in range(len(STAGES)):
+            p[f"WaveNetLayer_{i}"] = {
+                "DilatedConv3_0": {"kernel": w3[i], "bias": b3[i]},
+                "Conv1x1_0": {"kernel": w1[i], "bias": b1[i]},
+            }
+        # identity in-projection: feed x_proj directly through the layers by
+        # replicating the block body minus the first conv
+        from mucon_tpu.models.temporal import WaveNetLayer, pool2_time
+        from mucon_tpu.models.layers import mask_time
+
+        x = x_proj_in
+        ln = jnp.asarray(lengths)
+        for i, d in enumerate(STAGES):
+            layer = WaveNetLayer(C, d, dropout_rate=0.0)
+            x = layer.apply({"params": p[f"WaveNetLayer_{i}"]}, x, ln, False)
+            if i in POOLS:
+                x = pool2_time(x, "max")
+                ln = ln // 2
+                x = mask_time(x, ln)
+        x = jax.nn.relu(x)
+        x = x @ wl + bl
+        x = mask_time(x, ln)
+        return jnp.sum(x * g_target)
+
+    ref_grads = jax.grad(xla_loss, argnums=(0, 1))(x_proj, packed)
+    ker_grads = jax.grad(
+        lambda xp, pk: _kernel_loss(xp, lengths, pk, g_target), argnums=(0, 1)
+    )(x_proj, packed)
+
+    np.testing.assert_allclose(
+        np.asarray(ker_grads[0]), np.asarray(ref_grads[0]), rtol=3e-4, atol=2e-4
+    )
+    names = ["w3", "b3", "w1", "b1", "w_last", "b_last"]
+    for name, kg, rg in zip(names, ker_grads[1], ref_grads[1]):
+        np.testing.assert_allclose(
+            np.asarray(kg), np.asarray(rg), rtol=3e-4, atol=2e-4, err_msg=name
+        )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="pltpu.prng_seed has no CPU interpret lowering",
+)
+def test_train_kernel_dropout_statistics(setup):
+    block, variables, xs, lengths, x_proj, packed = setup
+    w3, b3, w1, b1, wl, bl = packed
+    z0 = wavenet_stack_train(
+        x_proj, jnp.asarray(lengths), jnp.asarray([7, 7], jnp.int32),
+        w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.25, False, True,
+    )
+    z_same = wavenet_stack_train(
+        x_proj, jnp.asarray(lengths), jnp.asarray([7, 7], jnp.int32),
+        w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.25, False, True,
+    )
+    z_other = wavenet_stack_train(
+        x_proj, jnp.asarray(lengths), jnp.asarray([9, 9], jnp.int32),
+        w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.25, False, True,
+    )
+    # deterministic in the seed, varies across seeds
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z_same))
+    assert np.abs(np.asarray(z0) - np.asarray(z_other)).max() > 0
+    # gradient path with dropout on is finite
+    g = jax.grad(
+        lambda xp: jnp.sum(
+            wavenet_stack_train(
+                xp, jnp.asarray(lengths), jnp.asarray([7, 7], jnp.int32),
+                w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.25, False, True,
+            )
+        )
+    )(x_proj)
+    assert np.all(np.isfinite(np.asarray(g)))
