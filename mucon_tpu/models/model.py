@@ -102,9 +102,19 @@ class MuConModel:
         z = tz = None
         if use_pallas is None:
             use_pallas = bool(self.cfg.tpu.use_pallas)
-        # the fused Pallas encoder is forward-only: eval path, wavenet type
-        if use_pallas and not train and self.cfg.model.ft.type == "wavenet":
-            z, tz = self._encode_pallas(params, batch_arrays)
+        if use_pallas and self.cfg.model.ft.type == "wavenet":
+            if train:
+                import jax as _jax
+
+                # pltpu PRNG has no CPU interpret lowering: on cpu the
+                # trainable kernel only covers dropout-free configs
+                if not (
+                    _jax.default_backend() == "cpu"
+                    and self.cfg.model.ft.dropout_rate > 0
+                ):
+                    z, tz = self._encode_pallas_train(params, batch_arrays, rng)
+            else:
+                z, tz = self._encode_pallas(params, batch_arrays)
 
         return self.net.apply(
             {"params": params},
@@ -118,6 +128,44 @@ class MuConModel:
             tz_precomputed=tz,
             rngs=rngs,
         )
+
+    def _encode_pallas_train(self, params, batch_arrays, rng):
+        """Differentiable fused stack (ops/wavenet_train_pallas.py) with
+        in-kernel dropout seeded from the step rng."""
+        import jax as _jax
+        from mucon_tpu.models.layers import mask_time
+        from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+        from mucon_tpu.ops.wavenet_train_pallas import wavenet_stack_train
+
+        ft = params["ft"]
+        feats = batch_arrays["feats"]
+        lengths = batch_arrays["num_frames"]
+        x = jnp.maximum(feats @ ft["Conv1x1_0"]["kernel"] + ft["Conv1x1_0"]["bias"], 0.0)
+        x = mask_time(x, lengths)
+        if rng is None:
+            seeds = jnp.zeros((feats.shape[0],), jnp.int32)
+        else:
+            seeds = _jax.random.randint(
+                _jax.random.fold_in(rng, 17), (feats.shape[0],), 0, 2**31 - 1
+            ).astype(jnp.int32)
+        packed = pack_wavenet_params(ft, len(self.cfg.model.ft.stages))
+        n_pools = sum(
+            1
+            for p in self.cfg.model.ft.pooling_layers
+            if p < len(self.cfg.model.ft.stages)
+        )
+        z = wavenet_stack_train(
+            x,
+            lengths,
+            seeds,
+            *packed,
+            tuple(self.cfg.model.ft.stages),
+            tuple(int(p) for p in self.cfg.model.ft.pooling_layers),
+            float(self.cfg.model.ft.dropout_rate),
+            bool(self.cfg.model.ft.leaky_relu),
+            _jax.default_backend() == "cpu",
+        )
+        return z, lengths >> n_pools
 
     def _encode_pallas(self, params, batch_arrays):
         """Fused Pallas WaveNet stack (mucon_tpu/ops/wavenet_pallas.py):

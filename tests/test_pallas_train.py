@@ -144,3 +144,39 @@ def test_train_kernel_dropout_statistics(setup):
         )
     )(x_proj)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_model_training_grads_with_pallas_encoder():
+    """Full-model gradient parity: use_pallas train path vs XLA path
+    (dropout zeroed for determinism)."""
+    from mucon_tpu.data import collate_padded
+    from mucon_tpu.models import batch_to_arrays, create_model
+    from tests.test_model import M, D, NMAX, make_sample, small_cfg
+
+    cfg = small_cfg()
+    cfg.model.ft.hidden_size = 128  # kernel channel width
+    cfg.model.ft.last_gn_num_groups = 32
+    cfg.model.ft.dropout_rate = 0.0
+    cfg.model.ft.last_dropout = False
+    cfg.model.fs.decoder.embedding_dropout = 0.0
+    rng = np.random.RandomState(5)
+    samples = [make_sample(rng, 64, 3, "a"), make_sample(rng, 41, 4, "b")]
+    batch = collate_padded(samples, n_max=NMAX, pad_multiple=16)
+    model = create_model(cfg, num_classes=M, max_decoding_steps=NMAX + 1,
+                         input_feature_size=D)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    arrays = batch_to_arrays(batch)
+
+    def loss(p, use_pallas):
+        fwd = model.forward(p, arrays, rng=jax.random.PRNGKey(1), train=True,
+                            teacher_forcing=True, use_pallas=use_pallas)
+        return model.loss(fwd, arrays, teacher_forcing=True).main
+
+    l_x, g_x = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_p, g_p = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert float(l_p) == pytest.approx(float(l_x), rel=2e-4)
+    flat_x = jax.tree.leaves(g_x)
+    flat_p = jax.tree.leaves(g_p)
+    for a, b in zip(flat_p, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
