@@ -311,6 +311,12 @@ def _bwd_rule(stages, pooling_layers, drop_rate, leaky, interpret,
     dx, dw3, db3, dw1, db1, dwl, dbl = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # the replay-backward holds all layer inputs (~4 MB at T=2048)
+            # plus weights and per-layer temporaries; the Mosaic default
+            # 16 MB scoped-vmem cap is conservative for v5e
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, T, C), jnp.float32),
             jax.ShapeDtypeStruct((B, L, 3, C, C), jnp.float32),
