@@ -1,0 +1,137 @@
+"""Fused WaveNet stack, v2: whole batch in one Pallas program.
+
+v1 (ops/wavenet_pallas.py) runs one grid program per video, so each matmul
+sees only T rows and the B programs serialize on the core.  v2 keeps the
+full [B x T x C] batch resident in VMEM and flattens (B, T) into the matmul
+M-dimension — every MXU op processes B*T rows, shifts/pools/masks stay in
+the 3-D view, and there is no grid at all (grid=(1,)).  HBM traffic is one
+batch read + one [B x T/16 x C] write for the whole 11-layer stack.
+
+Needs vmem_limit_bytes raised above the Mosaic default (the batch plus two
+temporaries is ~3 x B*T*C*4 bytes; v5e has headroom).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_batch(x, offset: int):
+    """x[:, t + offset, :] with zero fill, per video (3-D view)."""
+    B, T, C = x.shape
+    if offset == 0:
+        return x
+    if abs(offset) >= T:
+        return jnp.zeros_like(x)
+    pad = jnp.zeros((B, abs(offset), C), x.dtype)
+    if offset > 0:
+        return jnp.concatenate([x[:, offset:], pad], axis=1)
+    return jnp.concatenate([pad, x[:, :offset]], axis=1)
+
+
+def _bt_mask(b, t, lengths):
+    ids = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    return (ids < lengths[:, None]).astype(jnp.float32)[:, :, None]
+
+
+def _matmul_bt(x, w):
+    """[B x T x C] @ [C x C'] through a flattened (B*T, C) MXU matmul."""
+    B, T, C = x.shape
+    y = jnp.dot(
+        x.reshape(B * T, C), w, preferred_element_type=jnp.float32
+    )
+    return y.reshape(B, T, w.shape[1])
+
+
+def _stack_kernel_v2(
+    stages, pooling_layers, pooling_type, leaky, t_in, n_videos,
+    len_ref,  # scalar prefetch [B]
+    x_ref, w3_ref, b3_ref, w1_ref, b1_ref, wl_ref, bl_ref,
+    out_ref,
+):
+    B = n_videos
+    lengths = jnp.stack([len_ref[b] for b in range(B)])  # [B] (unrolled SMEM reads)
+    nonlin = (lambda v: jnp.where(v > 0, v, 0.01 * v)) if leaky else (
+        lambda v: jnp.maximum(v, 0.0)
+    )
+    t = t_in
+    x = x_ref[:] * _bt_mask(B, t, lengths)
+
+    for i, d in enumerate(stages):
+        z = (
+            _matmul_bt(_shift_batch(x, -d), w3_ref[i, 0])
+            + _matmul_bt(x, w3_ref[i, 1])
+            + _matmul_bt(_shift_batch(x, d), w3_ref[i, 2])
+            + b3_ref[i][None, None, :]
+        )
+        y = _matmul_bt(nonlin(z), w1_ref[i]) + b1_ref[i][None, None, :]
+        x = (y + x) * _bt_mask(B, t, lengths)
+        if i in pooling_layers:
+            pairs = x[:, : (t // 2) * 2].reshape(B, t // 2, 2, x.shape[2])
+            if pooling_type == "max":
+                x = jnp.max(pairs, axis=2)
+            else:
+                x = jnp.mean(pairs, axis=2) * 2.0
+            t, lengths = t // 2, lengths // 2
+            x = x * _bt_mask(B, t, lengths)
+
+    x = _matmul_bt(nonlin(x), wl_ref[:]) + bl_ref[:][None, None, :]
+    out_ref[:] = x * _bt_mask(B, t, lengths)
+
+
+def wavenet_stack_pallas_v2(
+    x,  # [B x T x C] float32 (post in-projection, relu'd, masked)
+    lengths,  # [B] int32
+    w3, b3, w1, b1, w_last, b_last,
+    stages: Sequence[int],
+    pooling_layers: Sequence[int],
+    pooling_type: str = "max",
+    leaky: bool = False,
+    interpret: bool = False,
+):
+    """Same contract as wavenet_stack_pallas (v1)."""
+    B, T, C = x.shape
+    L = len(stages)
+    n_pools = sum(1 for i in pooling_layers if i < L)
+    t_out = T >> n_pools
+    assert T % (1 << n_pools) == 0, (T, n_pools)
+
+    kernel = partial(
+        _stack_kernel_v2,
+        tuple(stages),
+        tuple(int(p) for p in pooling_layers),
+        pooling_type,
+        leaky,
+        T,
+        B,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((B, T, C), lambda g, *_: (0, 0, 0)),
+            pl.BlockSpec((L, 3, C, C), lambda g, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((L, C), lambda g, *_: (0, 0)),
+            pl.BlockSpec((L, C, C), lambda g, *_: (0, 0, 0)),
+            pl.BlockSpec((L, C), lambda g, *_: (0, 0)),
+            pl.BlockSpec((C, C), lambda g, *_: (0, 0)),
+            pl.BlockSpec((C,), lambda g, *_: (0,)),
+        ],
+        out_specs=pl.BlockSpec((B, t_out, C), lambda g, *_: (0, 0, 0)),
+    )
+    z = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, t_out, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), x, w3, b3, w1, b1, w_last, b_last)
+    return z, lengths >> n_pools

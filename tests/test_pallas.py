@@ -187,3 +187,34 @@ def test_fused_eval_with_pallas_viterbi_matches():
                                atol=1e-4)
     np.testing.assert_array_equal(b["vit_best_l"], a["vit_best_l"])
     np.testing.assert_array_equal(b["y_argmax"], a["y_argmax"])
+
+
+def test_wavenet_stack_v2_matches_v1():
+    from mucon_tpu.ops.wavenet_pallas_v2 import wavenet_stack_pallas_v2
+
+    rng = np.random.RandomState(4)
+    B, T, C = 3, 64, 128
+    stages = (1, 2, 4)
+    pooling_layers = (0, 1)
+    lengths = np.array([64, 41, 17], np.int32)
+    x = rng.randn(B, T, C).astype(np.float32)
+    x = x * (np.arange(T)[None, :, None] < lengths[:, None, None])
+
+    w3 = jnp.asarray(rng.randn(len(stages), 3, C, C).astype(np.float32) * 0.05)
+    b3 = jnp.asarray(rng.randn(len(stages), C).astype(np.float32) * 0.05)
+    w1 = jnp.asarray(rng.randn(len(stages), C, C).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(len(stages), C).astype(np.float32) * 0.05)
+    wl = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.05)
+    bl = jnp.asarray(rng.randn(C).astype(np.float32) * 0.05)
+
+    z1, l1 = wavenet_stack_pallas(
+        jnp.asarray(x), jnp.asarray(lengths), w3, b3, w1, b1, wl, bl,
+        stages=stages, pooling_layers=pooling_layers, interpret=True,
+    )
+    z2, l2 = wavenet_stack_pallas_v2(
+        jnp.asarray(x), jnp.asarray(lengths), w3, b3, w1, b1, wl, bl,
+        stages=stages, pooling_layers=pooling_layers, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=1e-5,
+                               atol=1e-5)
