@@ -147,7 +147,10 @@ def get_cfg_defaults() -> ConfigNode:
     # features, so padded batches can live in HBM and skip all host->device
     # transfer after the first epoch (freezes batch composition per epoch)
     _C.tpu.cache_batches = False
-    _C.tpu.use_pallas = False  # fused Pallas kernels for hot ops
+    _C.tpu.use_pallas = False  # fused Pallas kernels (eval path: v2 stack
+    # encoder + in-kernel Viterbi DP — validated faster than XLA on v5e)
+    _C.tpu.use_pallas_train = False  # trainable fused stack (custom VJP);
+    # correct but currently slower than XLA (see CLAUDE.md kernel status)
     _C.tpu.mesh = ConfigNode()
     _C.tpu.mesh.data = -1  # -1: all devices on the data axis
     _C.tpu.mesh.seq = 1  # sequence-parallel axis (halo-exchange conv)

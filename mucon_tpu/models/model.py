@@ -102,8 +102,8 @@ class MuConModel:
         z = tz = None
         if use_pallas is None:
             use_pallas = bool(self.cfg.tpu.use_pallas)
-        if use_pallas and self.cfg.model.ft.type == "wavenet":
-            if train:
+        if self.cfg.model.ft.type == "wavenet":
+            if train and (use_pallas and self.cfg.tpu.use_pallas_train):
                 import jax as _jax
 
                 # pltpu PRNG has no CPU interpret lowering: on cpu the
@@ -113,7 +113,7 @@ class MuConModel:
                     and self.cfg.model.ft.dropout_rate > 0
                 ):
                     z, tz = self._encode_pallas_train(params, batch_arrays, rng)
-            else:
+            elif not train and use_pallas:
                 z, tz = self._encode_pallas(params, batch_arrays)
 
         return self.net.apply(

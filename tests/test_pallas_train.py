@@ -159,6 +159,7 @@ def test_model_training_grads_with_pallas_encoder():
     cfg.model.ft.dropout_rate = 0.0
     cfg.model.ft.last_dropout = False
     cfg.model.fs.decoder.embedding_dropout = 0.0
+    cfg.tpu.use_pallas_train = True
     rng = np.random.RandomState(5)
     samples = [make_sample(rng, 64, 3, "a"), make_sample(rng, 41, 4, "b")]
     batch = collate_padded(samples, n_max=NMAX, pad_multiple=16)
