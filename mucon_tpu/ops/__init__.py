@@ -1,0 +1,22 @@
+from mucon_tpu.ops.eval_fused import build_fused_eval
+from mucon_tpu.ops.viterbi import (
+    dense_viterbi_decode,
+    dense_viterbi_decode_batch,
+    viterbi_precompute,
+)
+from mucon_tpu.ops.viterbi_pallas import dense_viterbi_pallas
+from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params, wavenet_stack_pallas
+from mucon_tpu.ops.wavenet_pallas_v2 import wavenet_stack_pallas_v2
+from mucon_tpu.ops.wavenet_train_pallas import wavenet_stack_train
+
+__all__ = [
+    "build_fused_eval",
+    "dense_viterbi_decode",
+    "dense_viterbi_decode_batch",
+    "viterbi_precompute",
+    "dense_viterbi_pallas",
+    "pack_wavenet_params",
+    "wavenet_stack_pallas",
+    "wavenet_stack_pallas_v2",
+    "wavenet_stack_train",
+]
