@@ -221,3 +221,30 @@ def test_remat_encoder_matches(model_and_batch):
     g = jax.grad(loss_fn)(params)
     total = sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree.leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+@pytest.mark.parametrize("ft_type,expect_pool", [("mstcnpp", 4), ("noft", 1)])
+def test_alternate_ft_types_forward_and_loss(model_and_batch, ft_type, expect_pool):
+    cfg, _, _, batch, _ = model_and_batch
+    cfg2 = cfg.clone()
+    cfg2.model.ft.type = ft_type
+    model = create_model(cfg2, num_classes=M, max_decoding_steps=NMAX + 1,
+                         input_feature_size=D)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    arrays = batch_to_arrays(batch)
+    fwd = model.forward(params, arrays, train=False, teacher_forcing=True)
+    # mstcnpp pools like wavenet (layers 0,1 in the small cfg); noft keeps T
+    np.testing.assert_array_equal(
+        np.asarray(fwd.tz_lengths), batch.num_frames // expect_pool
+    )
+    loss = model.loss(fwd, arrays, teacher_forcing=True)
+    assert np.isfinite(float(loss.main))
+
+    def loss_fn(p):
+        f = model.forward(p, arrays, rng=jax.random.PRNGKey(1), train=True,
+                          teacher_forcing=True)
+        return model.loss(f, arrays, teacher_forcing=True).main
+
+    g = jax.grad(loss_fn)(params)
+    total = sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
