@@ -13,21 +13,42 @@ Usage:
 import jax
 
 from mucon_tpu.cli.common import compose_config, config_arg_parser
-from mucon_tpu.data import handel_dataset
+from mucon_tpu.data import (
+    handel_dataset,
+    handel_fully_supervised_dataset,
+    handel_mixed_supervision_dataset,
+)
 from mucon_tpu.harness import MuConEvaluator, SimpleTrainer
-from mucon_tpu.models import create_model
+from mucon_tpu.models import (
+    create_fully_supervised_model,
+    create_mixed_supervision_model,
+    create_model,
+)
+
+# supervision mode -> (train-dataset factory, model factory); the test
+# dataset and evaluator are always the weak-supervision ones (evaluation
+# never consumes per-frame GT beyond metrics)
+_SUPERVISION = {
+    "weak": (handel_dataset, create_model),
+    "full": (handel_fully_supervised_dataset, create_fully_supervised_model),
+    "mixed": (handel_mixed_supervision_dataset, create_mixed_supervision_model),
+}
 
 
-def main(argv=None):
-    args = config_arg_parser(__doc__).parse_args(argv)
-    cfg = compose_config(args)
+def run(cfg, supervision: str = "weak"):
+    """Shared train -> save -> viterbi-eval pipeline for all three
+    supervision regimes (weak = reference src/train_test_mucon.py; the
+    full/mixed model+dataset variants exist in the reference at
+    models.py:781-911 / general_dataset.py:176-263 without entry scripts —
+    here they are first-class)."""
     print(cfg)
     print(f"jax devices: {jax.devices()}")
+    dataset_fn, model_fn = _SUPERVISION[supervision]
 
-    train_db = handel_dataset(cfg, train=True)
+    train_db = dataset_fn(cfg, train=True)
     test_db = handel_dataset(cfg, train=False)
 
-    model = create_model(
+    model = model_fn(
         cfg=cfg,
         num_classes=train_db.get_num_classes(),
         # plus one because of EOS (train_test_mucon.py:36-37)
@@ -64,6 +85,20 @@ def main(argv=None):
     trainer.metrics[name].set_value(evaluator_result, trainer.epoch_num)
     trainer.metrics[name].save()
     return evaluator_result
+
+
+def main(argv=None, supervision: str = "weak"):
+    parser = config_arg_parser(__doc__)
+    if supervision == "weak":  # only the generic entry exposes the switch
+        parser.add_argument(
+            "--supervision",
+            choices=sorted(_SUPERVISION),
+            default="weak",
+            help="training supervision regime",
+        )
+    args = parser.parse_args(argv)
+    cfg = compose_config(args)
+    return run(cfg, supervision=getattr(args, "supervision", supervision))
 
 
 if __name__ == "__main__":

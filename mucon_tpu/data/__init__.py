@@ -13,6 +13,8 @@ from mucon_tpu.data.general_dataset import (
     Sample,
 )
 from mucon_tpu.data.synthetic import (
+    create_fully_supervised_synthetic_dataset,
+    create_mixed_supervision_synthetic_dataset,
     create_synthetic_dataset,
     materialize_synthetic_dataset,
 )
@@ -36,12 +38,16 @@ handle_dataset = handel_dataset
 def handel_fully_supervised_dataset(cfg, train: bool):
     if cfg.dataset.name == "breakfast":
         return create_fully_supervised_breakfast_dataset(cfg=cfg, train=train)
+    if cfg.dataset.name == "synthetic":
+        return create_fully_supervised_synthetic_dataset(cfg=cfg, train=train)
     raise Exception("Invalid dataset name.")
 
 
 def handel_mixed_supervision_dataset(cfg, train: bool):
     if cfg.dataset.name == "breakfast":
         return create_mixed_supervision_breakfast_dataset(cfg=cfg, train=train)
+    if cfg.dataset.name == "synthetic":
+        return create_mixed_supervision_synthetic_dataset(cfg=cfg, train=train)
     raise Exception("Invalid dataset name.")
 
 
@@ -59,6 +65,8 @@ __all__ = [
     "create_fully_supervised_breakfast_dataset",
     "create_mixed_supervision_breakfast_dataset",
     "create_synthetic_dataset",
+    "create_fully_supervised_synthetic_dataset",
+    "create_mixed_supervision_synthetic_dataset",
     "materialize_synthetic_dataset",
     "handel_dataset",
     "handle_dataset",

@@ -84,7 +84,7 @@ def materialize_synthetic_dataset(
     return root
 
 
-def create_synthetic_dataset(cfg, train: bool = True) -> GeneralDataset:
+def _synthetic_root(cfg) -> Path:
     s = cfg.dataset.synthetic
     root = Path(cfg.dataset.root) / (
         f"synthetic_v{s.num_videos}_c{s.num_classes}_d{s.feat_dim}"
@@ -99,19 +99,63 @@ def create_synthetic_dataset(cfg, train: bool = True) -> GeneralDataset:
         max_len=s.max_len,
         seed=s.seed,
     )
+    return root
+
+
+def _finalize(db, set_name: str, prefix: str = ""):
+    db.end_class_id = 0
+    db.mof_eval_ignore_classes = []
+    db.background_class_ids = [0]
+    db.convenient_name = f"{prefix}synthetic_{set_name}"
+    db.split = 1
+    db.max_transcript_length = 30
+    return db
+
+
+def create_synthetic_dataset(cfg, train: bool = True) -> GeneralDataset:
+    root = _synthetic_root(cfg)
     set_name = "train" if train else "test"
     db = GeneralDataset(
         cfg=cfg,
         root=root,
         relative_path_to_list=f"split1.{set_name}",
         relative_path_to_mapping="mapping.txt",
-        feat_dim=s.feat_dim,
+        feat_dim=cfg.dataset.synthetic.feat_dim,
         relative_path_to_train_list="split1.train",
     )
-    db.end_class_id = 0
-    db.mof_eval_ignore_classes = []
-    db.background_class_ids = [0]
-    db.convenient_name = f"synthetic_{set_name}"
-    db.split = 1
-    db.max_transcript_length = 30
-    return db
+    return _finalize(db, set_name)
+
+
+def create_fully_supervised_synthetic_dataset(cfg, train: bool = True):
+    """Supervised variant over the same materialized root (lengths/*.npy
+    are always written) — mirrors breakfast.py's supervised factory
+    (reference src/core/datasets/breakfast.py:58-93)."""
+    from mucon_tpu.data.general_dataset import GeneralFullySupervisedDataset
+
+    root = _synthetic_root(cfg)
+    set_name = "train" if train else "test"
+    db = GeneralFullySupervisedDataset(
+        cfg=cfg,
+        root=root,
+        relative_path_to_list=f"split1.{set_name}",
+        relative_path_to_mapping="mapping.txt",
+        feat_dim=cfg.dataset.synthetic.feat_dim,
+    )
+    return _finalize(db, set_name, "fully_supervised_")
+
+
+def create_mixed_supervision_synthetic_dataset(cfg, train: bool = True):
+    from mucon_tpu.data.general_dataset import GeneralMixedSupervisionDataset
+
+    root = _synthetic_root(cfg)
+    set_name = "train" if train else "test"
+    pct = cfg.dataset.mixed.full_supervision_percentage
+    db = GeneralMixedSupervisionDataset(
+        cfg=cfg,
+        root=root,
+        relative_path_to_list=f"split1.{set_name}",
+        relative_path_to_mapping="mapping.txt",
+        feat_dim=cfg.dataset.synthetic.feat_dim,
+        full_supervision_percentage=pct,
+    )
+    return _finalize(db, set_name, f"mixed_supervision_percentage_{pct}_")

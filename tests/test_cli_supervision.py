@@ -1,0 +1,95 @@
+"""End-to-end CLI coverage for the full/mixed supervision regimes.
+
+The reference ships the supervised model + dataset variants without entry
+scripts (models.py:781-911, general_dataset.py:176-263); our CLI makes
+them runnable.  These tests drive the real entry modules on the synthetic
+dataset and check the supervised loss terms are live.
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from mucon_tpu.cli import train_test_mucon_full as full_cli
+from mucon_tpu.cli import train_test_mucon_mixed as mixed_cli
+from mucon_tpu.harness.evaluator import MuConEvaluatorResult
+
+
+def _tiny_argv(data_root, run_root, exp_name, extra=()):
+    overrides = [
+        ("dataset.name", "synthetic"),
+        ("dataset.root", str(data_root)),
+        ("dataset.synthetic.num_videos", "8"),
+        ("dataset.synthetic.num_classes", "6"),
+        ("dataset.synthetic.feat_dim", "16"),
+        ("dataset.synthetic.min_len", "120"),
+        ("dataset.synthetic.max_len", "300"),
+        ("trainer.root", str(run_root)),
+        ("trainer.num_epochs", "1"),
+        ("trainer.save_every", "1"),
+        ("trainer.eval_every", "1"),
+        ("model.ft.stages", "[1, 2, 4]"),
+        ("model.ft.pooling_layers", "[0, 1]"),
+        ("model.ft.hidden_size", "16"),
+        ("model.ft.last_gn_num_groups", "4"),
+        ("model.fs.encoder.hidden_size", "16"),
+        ("model.fs.decoder.hidden_size", "16"),
+        ("tpu.batch_size", "4"),
+        ("tpu.pad_multiple", "64"),
+        ("evaluator.viterbi.frame_sampling", "10"),
+    ] + list(extra)
+    argv = ["--exp-name", exp_name]
+    for k, v in overrides:
+        argv += ["--set", k, v]
+    return argv
+
+
+def _train_events(run_folder):
+    return [
+        json.loads(l)
+        for l in open(run_folder / "events.jsonl")
+        if json.loads(l)["kind"] == "train"
+    ]
+
+
+def test_fully_supervised_cli(tmp_path):
+    argv = _tiny_argv(tmp_path / "data", tmp_path / "runs", "full_e2e")
+    result = full_cli.main(argv)
+    assert isinstance(result, MuConEvaluatorResult)
+    for k, v in dataclasses.asdict(result).items():
+        if isinstance(v, float):
+            assert np.isfinite(v), k
+
+    # the supervised loss terms were computed and logged (nonzero)
+    events = _train_events(tmp_path / "runs" / "full_e2e" / "0")
+    assert events, "no train events logged"
+    assert "classification_loss" in events[0]
+    assert "supervised_length_loss" in events[0]
+    assert events[0]["classification_loss"] > 0.0
+
+
+def test_mixed_supervision_cli(tmp_path):
+    argv = _tiny_argv(
+        tmp_path / "data",
+        tmp_path / "runs",
+        "mixed_e2e",
+        extra=[("dataset.mixed.full_supervision_percentage", "50.0")],
+    )
+    result = mixed_cli.main(argv)
+    assert isinstance(result, MuConEvaluatorResult)
+    for k, v in dataclasses.asdict(result).items():
+        if isinstance(v, float):
+            assert np.isfinite(v), k
+    events = _train_events(tmp_path / "runs" / "mixed_e2e" / "0")
+    assert events and "classification_loss" in events[0]
+
+
+def test_supervision_switch_on_generic_entry(tmp_path):
+    """--supervision full on the generic entry routes to the same path."""
+    from mucon_tpu.cli import train_test_mucon as train_cli
+
+    argv = _tiny_argv(tmp_path / "data", tmp_path / "runs", "switch_e2e")
+    result = train_cli.main(argv + ["--supervision", "full"])
+    assert isinstance(result, MuConEvaluatorResult)
