@@ -18,6 +18,7 @@ padded batches and reads scalars; batches prefetch on a host thread.
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 from functools import partial
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -154,6 +155,26 @@ class SimpleTrainer:
             self._batch_cache[key] = arrays
         return arrays
 
+    def _prefetched(self, loader):
+        """Yield (batch, arrays) with the host->device transfer issued
+        `tpu.device_prefetch` batches ahead of compute.  JAX transfers are
+        async, so putting batch k+1 on the wire before batch k's step is
+        consumed hides the transfer behind device compute (double
+        buffering; new TPU capability — the reference's pinned-memory
+        DataLoader is the closest analogue, trainers.py:97-105)."""
+        ahead = max(0, int(self.cfg.tpu.device_prefetch))
+        if ahead == 0:
+            for batch in loader:
+                yield batch, self._batch_arrays(batch)
+            return
+        buf: deque = deque()
+        for batch in loader:
+            buf.append((batch, self._batch_arrays(batch)))
+            if len(buf) > ahead:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+
     def figure_scheduler_input(self, eval_results) -> Dict[str, Any]:
         if self.cfg.trainer.scheduler.name == "plateau" and eval_results:
             return {"metrics": eval_results[0].s_mof_nbg}
@@ -272,10 +293,9 @@ class SimpleTrainer:
 
         acc = None
         last_loss = None
-        for it, batch in enumerate(loader):
+        for it, (batch, arrays) in enumerate(self._prefetched(loader)):
             self.on_start_batch(self.iter_num, batch)
             self._rng, step_rng = jax.random.split(self._rng)
-            arrays = self._batch_arrays(batch)
 
             if accumulate == 1:
                 self.params, self.opt_state, loss = self._step_fns[tf](

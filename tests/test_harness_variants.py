@@ -99,3 +99,20 @@ def test_alignment_evaluator_teacher_forces(setup):
     # free decoding from an untrained model can't match GT transcripts
     assert res2.s_mat_score < 1.0
     model.set_teacher_forcing(True)
+
+
+def test_device_prefetch_bit_identical(setup):
+    """Double-buffered device transfer must not change training at all:
+    same data order, same rng stream => bit-identical params."""
+    cfg, train_db, _, model = setup
+
+    finals = {}
+    for ahead in (0, 2):
+        c = cfg.clone()
+        c.tpu.device_prefetch = ahead
+        t = SimpleTrainer(c, f"prefetch_{ahead}", train_db, model)
+        t.train()
+        finals[ahead] = [np.asarray(x) for x in jax.tree.leaves(t.params)]
+
+    for a, b in zip(finals[0], finals[2]):
+        np.testing.assert_array_equal(a, b)
