@@ -150,7 +150,9 @@ def get_cfg_defaults() -> ConfigNode:
     _C.tpu.use_pallas = False  # fused Pallas kernels (eval path: v2 stack
     # encoder + in-kernel Viterbi DP — validated faster than XLA on v5e)
     _C.tpu.use_pallas_train = False  # trainable fused stack (custom VJP);
-    # correct but currently slower than XLA (see CLAUDE.md kernel status)
+    # v2 whole-batch layout with chunked backward (see CLAUDE.md status)
+    _C.tpu.train_sweep_chunks = 3  # backward-sweep pallas programs (keeps
+    # per-program matmul count under the remote Mosaic compiler's limit)
     _C.tpu.mesh = ConfigNode()
     _C.tpu.mesh.data = -1  # -1: all devices on the data axis
     _C.tpu.mesh.seq = 1  # sequence-parallel axis (halo-exchange conv)

@@ -130,12 +130,13 @@ class MuConModel:
         )
 
     def _encode_pallas_train(self, params, batch_arrays, rng):
-        """Differentiable fused stack (ops/wavenet_train_pallas.py) with
-        in-kernel dropout seeded from the step rng."""
+        """Differentiable fused stack v2 (ops/wavenet_train_pallas_v2.py:
+        whole-batch forward with activation stash + chunked backward sweep)
+        with in-kernel dropout seeded from the step rng."""
         import jax as _jax
         from mucon_tpu.models.layers import mask_time
         from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
-        from mucon_tpu.ops.wavenet_train_pallas import wavenet_stack_train
+        from mucon_tpu.ops.wavenet_train_pallas_v2 import wavenet_stack_train_v2
 
         ft = params["ft"]
         feats = batch_arrays["feats"]
@@ -143,10 +144,10 @@ class MuConModel:
         x = jnp.maximum(feats @ ft["Conv1x1_0"]["kernel"] + ft["Conv1x1_0"]["bias"], 0.0)
         x = mask_time(x, lengths)
         if rng is None:
-            seeds = jnp.zeros((feats.shape[0],), jnp.int32)
+            seed = jnp.zeros((), jnp.int32)
         else:
-            seeds = _jax.random.randint(
-                _jax.random.fold_in(rng, 17), (feats.shape[0],), 0, 2**31 - 1
+            seed = _jax.random.randint(
+                _jax.random.fold_in(rng, 17), (), 0, 2**31 - 1
             ).astype(jnp.int32)
         packed = pack_wavenet_params(ft, len(self.cfg.model.ft.stages))
         n_pools = sum(
@@ -154,16 +155,17 @@ class MuConModel:
             for p in self.cfg.model.ft.pooling_layers
             if p < len(self.cfg.model.ft.stages)
         )
-        z = wavenet_stack_train(
+        z = wavenet_stack_train_v2(
             x,
             lengths,
-            seeds,
+            seed,
             *packed,
             tuple(self.cfg.model.ft.stages),
             tuple(int(p) for p in self.cfg.model.ft.pooling_layers),
             float(self.cfg.model.ft.dropout_rate),
             bool(self.cfg.model.ft.leaky_relu),
             _jax.default_backend() == "cpu",
+            int(self.cfg.tpu.train_sweep_chunks),
         )
         return z, lengths >> n_pools
 

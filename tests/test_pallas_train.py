@@ -181,3 +181,63 @@ def test_model_training_grads_with_pallas_encoder():
     for a, b in zip(flat_p, flat_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# v2: whole-batch layout, chunked backward
+# ---------------------------------------------------------------------------
+
+
+def _kernel_loss_v2(x_proj, lengths, packed, g_target, chunks):
+    from mucon_tpu.ops.wavenet_train_pallas_v2 import wavenet_stack_train_v2
+
+    w3, b3, w1, b1, wl, bl = packed
+    z = wavenet_stack_train_v2(
+        x_proj, jnp.asarray(lengths), jnp.zeros((), jnp.int32),
+        w3, b3, w1, b1, wl, bl,
+        STAGES, POOLS, 0.0, False, True, chunks,
+    )
+    return jnp.sum(z * g_target)
+
+
+def test_train_kernel_v2_forward_matches(setup):
+    block, variables, xs, lengths, x_proj, packed = setup
+    ref_out, _ = block.apply(
+        variables, jnp.asarray(xs), jnp.asarray(lengths), False
+    )
+    from mucon_tpu.ops.wavenet_train_pallas_v2 import wavenet_stack_train_v2
+
+    w3, b3, w1, b1, wl, bl = packed
+    z = wavenet_stack_train_v2(
+        x_proj, jnp.asarray(lengths), jnp.zeros((), jnp.int32),
+        w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.0, False, True, 2,
+    )
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_out),
+                               rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("chunks", [1, 2, 3])
+def test_train_kernel_v2_grads_match_v1(setup, chunks):
+    """v2 (whole-batch, chunked sweep) grads == v1 (per-video replay) grads
+    for every chunking; v1 is itself exact vs XLA (test above)."""
+    block, variables, xs, lengths, x_proj, packed = setup
+    rng = np.random.RandomState(2)
+    t_out = np.asarray(x_proj).shape[1] // 4
+    g_target = jnp.asarray(rng.randn(B, t_out, C).astype(np.float32))
+
+    v1_grads = jax.grad(
+        lambda xp, pk: _kernel_loss(xp, lengths, pk, g_target), argnums=(0, 1)
+    )(x_proj, packed)
+    v2_grads = jax.grad(
+        lambda xp, pk: _kernel_loss_v2(xp, lengths, pk, g_target, chunks),
+        argnums=(0, 1),
+    )(x_proj, packed)
+
+    np.testing.assert_allclose(
+        np.asarray(v2_grads[0]), np.asarray(v1_grads[0]), rtol=1e-5, atol=1e-5
+    )
+    names = ["w3", "b3", "w1", "b1", "w_last", "b_last"]
+    for name, g2, g1 in zip(names, v2_grads[1], v1_grads[1]):
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-5, err_msg=name
+        )
