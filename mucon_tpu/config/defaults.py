@@ -154,6 +154,8 @@ def get_cfg_defaults() -> ConfigNode:
     _C.tpu.train_sweep_chunks = 3  # backward-sweep pallas programs (keeps
     # per-program matmul count under the remote Mosaic compiler's limit)
     _C.tpu.mesh = ConfigNode()
+    _C.tpu.mesh.enable = False  # multi-device SPMD training (data/seq axes);
+    # requires tpu.batch_size % n_data == 0 (remainder batches are dropped)
     _C.tpu.mesh.data = -1  # -1: all devices on the data axis
     _C.tpu.mesh.seq = 1  # sequence-parallel axis (halo-exchange conv)
     _C.tpu.remat = False  # jax.checkpoint the encoder stack

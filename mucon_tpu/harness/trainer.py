@@ -110,6 +110,25 @@ class SimpleTrainer:
             jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else None
         )
 
+        # multi-device SPMD (tpu.mesh.enable): params replicated, batches
+        # sharded over ("data", "seq"), gradient psum inserted by XLA —
+        # the scale-out capability the reference lacks (SURVEY.md §2.12)
+        self.mesh = None
+        if cfg.tpu.mesh.enable and len(jax.devices()) > 1:
+            from mucon_tpu.parallel.mesh import mesh_from_config
+
+            self.mesh = mesh_from_config(cfg)
+            n_data = self.mesh.shape["data"]
+            if self.cfg.tpu.batch_size % n_data != 0:
+                raise ValueError(
+                    f"tpu.batch_size ({self.cfg.tpu.batch_size}) must be a "
+                    f"multiple of the mesh data axis ({n_data})"
+                )
+            if self.accumulate_grad_every > 1:
+                raise NotImplementedError(
+                    "grad accumulation with tpu.mesh.enable is not supported"
+                )
+
     # -- template methods (fandak contract, trainers.py:60-106) -------------
     def update_trainer_using_config(self) -> None:
         self.save_every = self.cfg.trainer.save_every
@@ -141,17 +160,28 @@ class SimpleTrainer:
             seed=self.seed,
             prefetch=max(1, self.cfg.system.num_workers),
             fixed_batches=self.cfg.tpu.cache_batches,
+            # sharded batches must divide the mesh's data axis evenly (a
+            # short remainder batch would need loss-polluting dummy videos)
+            drop_remainder=self.mesh is not None,
         )
         return self._train_loader
 
+    def _put(self, arrays: dict) -> dict:
+        if self.mesh is None:
+            return {k: jax.device_put(v) for k, v in arrays.items()}
+        from mucon_tpu.parallel.mesh import shard_batch_arrays
+
+        return shard_batch_arrays(self.mesh, arrays)
+
     def _batch_arrays(self, batch) -> dict:
         if not self.cfg.tpu.cache_batches:
-            return batch_to_arrays(batch, feats_dtype=self._feats_dtype)
+            arrays = batch_to_arrays(batch, feats_dtype=self._feats_dtype)
+            return self._put(arrays) if self.mesh is not None else arrays
         key = tuple(batch.video_names)
         arrays = self._batch_cache.get(key)
         if arrays is None:
             arrays = batch_to_arrays(batch, feats_dtype=self._feats_dtype)
-            arrays = {k: jax.device_put(v) for k, v in arrays.items()}
+            arrays = self._put(arrays)
             self._batch_cache[key] = arrays
         return arrays
 
@@ -198,6 +228,12 @@ class SimpleTrainer:
 
     # -- jitted steps -----------------------------------------------------------
     def _make_step_fn(self, teacher_forcing: bool):
+        if self.mesh is not None:
+            from mucon_tpu.parallel.mesh import make_sharded_train_step
+
+            return make_sharded_train_step(
+                self.model, self.tx, self.mesh, teacher_forcing
+            )
         model, tx = self.model, self.tx
 
         @partial(jax.jit, donate_argnums=(0, 1))

@@ -69,9 +69,11 @@ def shard_batch_arrays(mesh: Mesh, arrays: dict) -> dict:
 
 
 def pad_batch_to_multiple(arrays: dict, multiple: int) -> dict:
-    """Pad the batch (video) axis to a mesh-divisible size with zero-frame
-    dummy videos (num_frames stays >=16 so downsampling never hits 0; their
-    loss contribution is excluded by the caller via the returned mask)."""
+    """Pad the batch (video) axis to a mesh-divisible size with dummy
+    videos (num_frames=16 so downsampling never hits 0).  NOTE: the batch
+    loss is a mean over videos, so dummy videos DO dilute it — use this
+    only for inference/eval shapes; training drops remainder batches
+    instead (SimpleTrainer sets drop_remainder when a mesh is active)."""
     b = arrays["num_frames"].shape[0]
     target = -(-b // multiple) * multiple
     if target == b:
@@ -109,8 +111,11 @@ def make_sharded_train_step(
     )
     def step(params, opt_state, rng, arrays):
         def loss_fn(p):
+            # use_pallas=False: the fused kernels are single-device programs;
+            # under GSPMD the XLA stack shards/halo-exchanges automatically
             fwd = model.forward(
-                p, arrays, rng=rng, train=True, teacher_forcing=teacher_forcing
+                p, arrays, rng=rng, train=True, teacher_forcing=teacher_forcing,
+                use_pallas=False,
             )
             loss = model.loss(fwd, arrays, teacher_forcing=teacher_forcing)
             return loss.main, loss
@@ -132,7 +137,8 @@ def make_sharded_forward(model, mesh: Mesh, teacher_forcing: bool = False):
     @partial(jax.jit, in_shardings=(None, arr_shardings))
     def fwd(params, arrays):
         return model.forward(
-            params, arrays, train=False, teacher_forcing=teacher_forcing
+            params, arrays, train=False, teacher_forcing=teacher_forcing,
+            use_pallas=False,
         )
 
     return fwd

@@ -115,3 +115,80 @@ def test_halo_exchange_conv_matches_unsharded():
         out = conv(x, w, b)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_trainer_mesh_integration(tmp_path):
+    """SimpleTrainer with tpu.mesh.enable trains on the virtual mesh and
+    produces the same first-step loss as the single-device trainer (same
+    seed => same batch composition and rng stream)."""
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import SimpleTrainer
+
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(tmp_path / "data")
+    cfg.dataset.synthetic.num_videos = 8
+    cfg.dataset.synthetic.num_classes = 6
+    cfg.dataset.synthetic.feat_dim = 16
+    cfg.dataset.synthetic.min_len = 100
+    cfg.dataset.synthetic.max_len = 260
+    cfg.trainer.root = str(tmp_path / "runs")
+    cfg.trainer.num_epochs = 1
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    cfg.model.ft.dropout_rate = 0.0
+    cfg.model.ft.last_dropout_rate = 0.0
+    cfg.model.fs.decoder.embedding_dropout = 0.0
+    cfg.tpu.batch_size = 2  # 6 train videos -> 3 full batches, no remainder
+    cfg.tpu.pad_multiple = 64
+
+    train_db = handel_dataset(cfg, train=True)
+    model = create_model(cfg, train_db.get_num_classes(),
+                         train_db.max_transcript_length + 1, train_db.feat_dim)
+
+    import json
+
+    losses = {}
+    for mode in ("single", "mesh"):
+        c = cfg.clone()
+        c.tpu.mesh.enable = mode == "mesh"
+        c.tpu.mesh.data = 2
+        t = SimpleTrainer(c, f"mesh_{mode}", train_db, model)
+        assert (t.mesh is not None) == (mode == "mesh")
+        t.train()
+        events = [
+            json.loads(l)
+            for l in open(t.run_folder / "events.jsonl")
+            if json.loads(l)["kind"] == "train"
+        ]
+        losses[mode] = events[0]["main"]
+
+    assert losses["mesh"] == pytest.approx(losses["single"], rel=1e-5)
+
+
+def test_trainer_mesh_rejects_bad_batch_size(tmp_path):
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import SimpleTrainer
+
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(tmp_path / "data")
+    cfg.dataset.synthetic.num_videos = 8
+    cfg.dataset.synthetic.num_classes = 6
+    cfg.dataset.synthetic.feat_dim = 16
+    cfg.dataset.synthetic.min_len = 100
+    cfg.dataset.synthetic.max_len = 200
+    cfg.trainer.root = str(tmp_path / "runs")
+    cfg.tpu.mesh.enable = True
+    cfg.tpu.mesh.data = 2
+    cfg.tpu.batch_size = 3  # not divisible by n_data=2
+
+    train_db = handel_dataset(cfg, train=True)
+    model = create_model(cfg, train_db.get_num_classes(),
+                         train_db.max_transcript_length + 1, train_db.feat_dim)
+    with pytest.raises(ValueError, match="multiple of the mesh data axis"):
+        SimpleTrainer(cfg, "mesh_bad", train_db, model)
