@@ -286,7 +286,10 @@ class SimpleTrainer:
         for epoch in range(start, num_epochs):
             self.epoch_num = epoch
             self.on_start_epoch(epoch)
-            self._train_one_epoch()
+            with self.logger.profile(
+                enabled=epoch == self.cfg.trainer.profile_epoch
+            ):
+                self._train_one_epoch()
 
             eval_results = []
             if self.evaluators and (epoch + 1) % self.eval_every == 0:
