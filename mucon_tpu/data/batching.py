@@ -76,12 +76,21 @@ def collate_padded(
     full_sup = np.zeros(B, bool)
     names = []
 
+    # bulk pad-copies through the native kernel when layouts match (GIL
+    # released for the ~B*Tpad*D*4-byte memcpy; mucon_tpu/native/collate.cpp)
+    from mucon_tpu.native import pad_copy_feats_native, pad_copy_labels_native
+
+    feats_done = pad_copy_feats_native(feats, [s.feats for s in samples])
+    gt_done = pad_copy_labels_native(gt, [s.gt_label for s in samples])
+
     for i, s in enumerate(samples):
         t = s.feats.shape[0]
         n = s.transcript.shape[0]
         assert n <= n_max, f"transcript length {n} exceeds n_max {n_max}"
-        feats[i, :t] = s.feats
-        gt[i, :t] = s.gt_label
+        if not feats_done:
+            feats[i, :t] = s.feats
+        if not gt_done:
+            gt[i, :t] = s.gt_label
         num_frames[i] = t
         transcript[i, :n] = s.transcript
         n_len[i] = n

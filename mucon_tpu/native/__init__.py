@@ -16,19 +16,21 @@ from typing import Optional
 import numpy as np
 
 _DIR = Path(__file__).parent
-_SRC = _DIR / "metrics.cpp"
-_LIB = _DIR / "_libmetrics.so"
+_SRCS = [_DIR / "metrics.cpp", _DIR / "collate.cpp"]
+_LIB = _DIR / "_libnative.so"
 
 _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> bool:
     try:
-        if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        newest_src = max(s.stat().st_mtime for s in _SRCS)
+        if _LIB.exists() and _LIB.stat().st_mtime >= newest_src:
             return True
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_LIB)],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
+            + [str(s) for s in _SRCS]
+            + ["-o", str(_LIB)],
             check=True,
             capture_output=True,
         )
@@ -56,6 +58,18 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.levenshtein_matches.restype = None
     lib.levenshtein_matches.argtypes = [
         i64p, ctypes.c_int, i64p, ctypes.c_int, i64p, i64p,
+    ]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.pad_copy_f32.restype = None
+    lib.pad_copy_f32.argtypes = [
+        f32p, ctypes.POINTER(f32p), i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.pad_copy_i64_to_i32.restype = None
+    lib.pad_copy_i64_to_i32.argtypes = [
+        i32p, ctypes.POINTER(i64p), i64p,
+        ctypes.c_int64, ctypes.c_int64,
     ]
     _lib = lib
     return lib
@@ -103,3 +117,50 @@ def levenshtein_matches_native(a, b):
         _ptr(aa), len(aa), _ptr(bb), len(bb), _ptr(dist), _ptr(matches)
     )
     return int(dist[0]), int(matches[0])
+
+
+def pad_copy_feats_native(dst: np.ndarray, feats_list) -> bool:
+    """Copy per-video [T_i x D] float32 features into zeroed dst
+    [B x Tpad x D] with the GIL released.  Returns False if the native lib
+    is unavailable or dtypes/layouts don't match (caller falls back)."""
+    lib = _load()
+    if lib is None or dst.dtype != np.float32 or not dst.flags.c_contiguous:
+        return False
+    if any(
+        f.dtype != np.float32 or not f.flags.c_contiguous or f.ndim != 2
+        for f in feats_list
+    ):
+        return False
+    B, Tpad, D = dst.shape
+    if any(f.shape[1] != D or f.shape[0] > Tpad for f in feats_list):
+        return False
+    f32p = ctypes.POINTER(ctypes.c_float)
+    srcs = (f32p * B)(*[f.ctypes.data_as(f32p) for f in feats_list])
+    lens = np.array([f.shape[0] for f in feats_list], np.int64)
+    lib.pad_copy_f32(
+        dst.ctypes.data_as(f32p), srcs, _ptr(lens), B, Tpad, D
+    )
+    return True
+
+
+def pad_copy_labels_native(dst: np.ndarray, labels_list) -> bool:
+    """Copy per-video int64 label vectors into zeroed int32 dst [B x Tpad]."""
+    lib = _load()
+    if lib is None or dst.dtype != np.int32 or not dst.flags.c_contiguous:
+        return False
+    if any(
+        l.dtype != np.int64 or not l.flags.c_contiguous or l.ndim != 1
+        for l in labels_list
+    ):
+        return False
+    B, Tpad = dst.shape
+    if any(l.shape[0] > Tpad for l in labels_list):
+        return False
+    i64pp = ctypes.POINTER(ctypes.c_int64)
+    srcs = (i64pp * B)(*[l.ctypes.data_as(i64pp) for l in labels_list])
+    lens = np.array([l.shape[0] for l in labels_list], np.int64)
+    lib.pad_copy_i64_to_i32(
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), srcs,
+        _ptr(lens), B, Tpad
+    )
+    return True

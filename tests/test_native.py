@@ -88,3 +88,78 @@ def test_metrics_use_native_transparently(lib_available):
     s = MatchingScoreMetric()
     s.add([1, 2, 3], [1, 3])
     assert s.summary() == pytest.approx(0.8)
+
+
+def test_pad_copy_collate_matches_python():
+    """Native collate pad-copy == numpy slicing, and the collate_padded
+    surface produces identical batches with the native path on and off."""
+    import os
+    import numpy as np
+    from mucon_tpu.native import pad_copy_feats_native, pad_copy_labels_native
+
+    rng = np.random.RandomState(0)
+    B, Tpad, D = 3, 64, 8
+    feats_list = [
+        np.ascontiguousarray(rng.randn(t, D).astype(np.float32))
+        for t in (64, 41, 17)
+    ]
+    labels_list = [
+        np.ascontiguousarray(rng.randint(0, 9, t).astype(np.int64))
+        for t in (64, 41, 17)
+    ]
+
+    dst = np.zeros((B, Tpad, D), np.float32)
+    if pad_copy_feats_native(dst, feats_list):
+        ref = np.zeros_like(dst)
+        for i, f in enumerate(feats_list):
+            ref[i, : f.shape[0]] = f
+        np.testing.assert_array_equal(dst, ref)
+
+    dsti = np.zeros((B, Tpad), np.int32)
+    if pad_copy_labels_native(dsti, labels_list):
+        refi = np.zeros_like(dsti)
+        for i, l in enumerate(labels_list):
+            refi[i, : l.shape[0]] = l.astype(np.int32)
+        np.testing.assert_array_equal(dsti, refi)
+
+    # mismatched dtype falls back cleanly
+    assert pad_copy_feats_native(
+        np.zeros((1, 4, 2), np.float64), [np.zeros((2, 2), np.float64)]
+    ) is False
+
+
+def test_collate_padded_native_vs_python_batch():
+    import numpy as np
+    from mucon_tpu.data import collate_padded
+    from mucon_tpu.data.general_dataset import Sample
+    from mucon_tpu.data.utils import create_tf_input, create_tf_target
+    import mucon_tpu.native as native
+
+    rng = np.random.RandomState(1)
+
+    def mk(t, name):
+        tr = rng.randint(0, 5, 3).astype(np.int64)
+        return Sample(
+            feats=rng.randn(t, 8).astype(np.float32),
+            gt_label=rng.randint(0, 5, t).astype(np.int64),
+            transcript=tr,
+            transcript_tf_input=create_tf_input(tr, sos_i=6),
+            transcript_tf_target=create_tf_target(tr, eos_i=5),
+            video_name=name,
+        )
+
+    samples = [mk(48, "a"), mk(31, "b")]
+    b1 = collate_padded(samples, n_max=30, pad_multiple=16)
+    # force the python fallback
+    saved = native._lib
+    try:
+        native._lib = None
+        import os
+        os.environ["MUCON_TPU_NO_NATIVE"] = "1"
+        b2 = collate_padded(samples, n_max=30, pad_multiple=16)
+    finally:
+        native._lib = saved
+        os.environ.pop("MUCON_TPU_NO_NATIVE", None)
+    np.testing.assert_array_equal(b1.feats, b2.feats)
+    np.testing.assert_array_equal(b1.gt_label, b2.gt_label)
+    np.testing.assert_array_equal(b1.num_frames, b2.num_frames)
