@@ -198,11 +198,40 @@ class MuConEvaluator:
                 self.batch_eval_calculation(batch, fwd)
         return self.on_finish_eval()
 
+    def _eval_mesh(self):
+        """Mesh for sharded evaluation (tpu.mesh.enable; lazy, cached)."""
+        import jax
+
+        if not (self.cfg.tpu.mesh.enable and len(jax.devices()) > 1):
+            return None
+        if not hasattr(self, "_mesh"):
+            from mucon_tpu.parallel.mesh import mesh_from_config
+
+            self._mesh = mesh_from_config(self.cfg)
+        return self._mesh
+
+    def _make_arrays(self, batch: PaddedBatch) -> dict:
+        mesh = self._eval_mesh()
+        if mesh is None:
+            return batch_to_arrays(batch)
+        # eval must score EVERY video, so short batches are padded with
+        # dummy videos (loss is never computed here) and their outputs are
+        # discarded by the per-video loops, which run over batch.batch_size
+        from mucon_tpu.models.model import batch_to_host_arrays
+        from mucon_tpu.parallel.mesh import (
+            pad_batch_to_multiple,
+            shard_batch_arrays,
+        )
+
+        arrays = batch_to_host_arrays(batch)
+        arrays = pad_batch_to_multiple(arrays, mesh.shape["data"])
+        return shard_batch_arrays(self._mesh, arrays)
+
     def _batch_arrays(self, batch: PaddedBatch) -> dict:
         """Eval batches are fixed (shuffle=False): with tpu.cache_batches
         the device arrays persist across the per-epoch evaluations."""
         if not self.cfg.tpu.cache_batches:
-            return batch_to_arrays(batch)
+            return self._make_arrays(batch)
         if not hasattr(self, "_array_cache"):
             self._array_cache = {}
         key = tuple(batch.video_names)
@@ -210,9 +239,9 @@ class MuConEvaluator:
         if arrays is None:
             import jax
 
-            arrays = {
-                k: jax.device_put(v) for k, v in batch_to_arrays(batch).items()
-            }
+            arrays = self._make_arrays(batch)
+            if self._eval_mesh() is None:  # sharded arrays are already placed
+                arrays = {k: jax.device_put(v) for k, v in arrays.items()}
             self._array_cache[key] = arrays
         return arrays
 
@@ -224,11 +253,14 @@ class MuConEvaluator:
         if prog is None:
             from mucon_tpu.ops.eval_fused import build_fused_eval
 
+            sharded = self._eval_mesh() is not None
             prog = build_fused_eval(
                 self.model,
                 teacher_forcing=tf,
                 frame_sampling=self.frame_sampling,
-                use_pallas_viterbi=bool(self.cfg.tpu.use_pallas),
+                # single-device pallas programs don't apply under GSPMD
+                use_pallas_viterbi=bool(self.cfg.tpu.use_pallas) and not sharded,
+                use_pallas_forward=not sharded,
             )
             if not hasattr(self, "_fused_cache"):
                 self._fused_cache = {}

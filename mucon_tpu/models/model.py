@@ -279,22 +279,30 @@ def _log_softmax_np(x: np.ndarray) -> np.ndarray:
     return x - m - s
 
 
+def batch_to_host_arrays(batch: PaddedBatch, feats_dtype=None) -> dict:
+    """Host (numpy) dict view of a PaddedBatch — the canonical key set."""
+    feats = batch.feats if feats_dtype is None else batch.feats.astype(feats_dtype)
+    return dict(
+        feats=feats,
+        num_frames=batch.num_frames,
+        gt_label=batch.gt_label,
+        transcript=batch.transcript,
+        transcript_len=batch.transcript_len,
+        tf_input=batch.tf_input,
+        tf_target=batch.tf_target,
+        absolute_lengths=batch.absolute_lengths,
+        fully_supervised=batch.fully_supervised,
+    )
+
+
 def batch_to_arrays(batch: PaddedBatch, feats_dtype=None) -> dict:
     """Device-transferable dict view of a PaddedBatch.  `feats_dtype`
     (e.g. bfloat16) casts features before transfer — halves wire + HBM
     bytes on the dominant tensor."""
-    feats = batch.feats if feats_dtype is None else batch.feats.astype(feats_dtype)
-    return dict(
-        feats=jnp.asarray(feats),
-        num_frames=jnp.asarray(batch.num_frames),
-        gt_label=jnp.asarray(batch.gt_label),
-        transcript=jnp.asarray(batch.transcript),
-        transcript_len=jnp.asarray(batch.transcript_len),
-        tf_input=jnp.asarray(batch.tf_input),
-        tf_target=jnp.asarray(batch.tf_target),
-        absolute_lengths=jnp.asarray(batch.absolute_lengths),
-        fully_supervised=jnp.asarray(batch.fully_supervised),
-    )
+    return {
+        k: jnp.asarray(v)
+        for k, v in batch_to_host_arrays(batch, feats_dtype).items()
+    }
 
 
 def create_model(cfg, num_classes, max_decoding_steps, input_feature_size):

@@ -24,14 +24,20 @@ import jax.numpy as jnp
 
 
 def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
-                     max_len: int = 2000, use_pallas_viterbi: bool = False):
-    """Returns a jitted fn(params, arrays) -> dict of host-ready outputs."""
+                     max_len: int = 2000, use_pallas_viterbi: bool = False,
+                     use_pallas_forward: bool = True):
+    """Returns a jitted fn(params, arrays) -> dict of host-ready outputs.
+
+    `use_pallas_forward=False` forces the XLA forward (needed when the
+    inputs are sharded over a mesh — the fused single-device kernels don't
+    partition; GSPMD shards the XLA graph instead)."""
     S = frame_sampling
 
     @jax.jit
     def run(params, arrays):
         fwd = model.forward(
-            params, arrays, train=False, teacher_forcing=teacher_forcing
+            params, arrays, train=False, teacher_forcing=teacher_forcing,
+            use_pallas=None if use_pallas_forward else False,
         )
         B, T, M = fwd.segmentation.shape
         seg_lp = jax.nn.log_softmax(fwd.segmentation, axis=-1)

@@ -192,3 +192,52 @@ def test_trainer_mesh_rejects_bad_batch_size(tmp_path):
                          train_db.max_transcript_length + 1, train_db.feat_dim)
     with pytest.raises(ValueError, match="multiple of the mesh data axis"):
         SimpleTrainer(cfg, "mesh_bad", train_db, model)
+
+
+def test_evaluator_mesh_matches_single_device(tmp_path):
+    """Sharded fused eval (with dummy-video padding for mesh divisibility)
+    must produce the same 24-field result as the single-device evaluator."""
+    import dataclasses
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import MuConEvaluator
+
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(tmp_path / "data")
+    cfg.dataset.synthetic.num_videos = 8
+    cfg.dataset.synthetic.num_classes = 6
+    cfg.dataset.synthetic.feat_dim = 16
+    cfg.dataset.synthetic.min_len = 100
+    cfg.dataset.synthetic.max_len = 260
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    cfg.tpu.batch_size = 4  # test split has 2 videos -> dummy padding to 4
+    cfg.tpu.pad_multiple = 64
+    cfg.evaluator.viterbi.frame_sampling = 10
+
+    test_db = handel_dataset(cfg, train=False)
+    model = create_model(cfg, test_db.get_num_classes(),
+                         test_db.max_transcript_length + 1, test_db.feat_dim)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    results = {}
+    for mode in ("single", "mesh"):
+        c = cfg.clone()
+        c.tpu.mesh.enable = mode == "mesh"
+        c.tpu.mesh.data = 4
+        ev = MuConEvaluator(cfg=c, test_db=test_db, model=model)
+        ev.viterbi_mode(True)
+        assert (ev._eval_mesh() is not None) == (mode == "mesh")
+        results[mode] = dataclasses.asdict(ev.evaluate(params))
+
+    for k, sv in results["single"].items():
+        mv = results["mesh"][k]
+        if isinstance(sv, tuple):
+            for a, b in zip(sv, mv):
+                assert a == pytest.approx(b, abs=1e-4), k
+        else:
+            assert sv == pytest.approx(mv, abs=1e-4), k
