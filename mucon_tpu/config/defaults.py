@@ -55,6 +55,8 @@ def get_cfg_defaults() -> ConfigNode:
     _C.trainer.accumulate_grad_every = 1
     _C.trainer.profile_epoch = -1  # jax.profiler-trace this epoch into the
     # run folder's profile/ dir (view with tensorboard); -1 disables
+    _C.trainer.async_checkpoint = False  # serialize+write checkpoints on a
+    # background thread (device snapshot stays synchronous)
     _C.trainer.scheduler = ConfigNode()
     _C.trainer.scheduler.name = "step"  # "none" | "plateau" | "step"
     _C.trainer.scheduler.plateau = ConfigNode()

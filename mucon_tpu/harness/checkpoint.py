@@ -21,21 +21,49 @@ reconstructs from config — same contract as the reference's
 from __future__ import annotations
 
 import json
+import threading
 from pathlib import Path
+from typing import Optional
 
 import jax
 from flax import serialization
 
 
-def save_checkpoint(folder: Path, params, opt_state, trainer_state: dict) -> None:
+def _write_checkpoint_files(
+    folder: Path, params_host, opt_state_host, trainer_state: dict
+) -> None:
+    # write to temp names then rename: a crash mid-write never leaves a
+    # half-written checkpoint that load_training would trust
+    for name, obj in (("model", params_host), ("optimizer", opt_state_host)):
+        tmp = folder / f"{name}.msgpack.tmp"
+        tmp.write_bytes(serialization.to_bytes(obj))
+        tmp.rename(folder / f"{name}.msgpack")
+    with open(folder / "trainer_state.json", "w") as f:
+        json.dump(trainer_state, f, indent=2)
+
+
+def save_checkpoint(
+    folder: Path, params, opt_state, trainer_state: dict, async_write: bool = False
+) -> Optional[threading.Thread]:
+    """Persist a checkpoint.  With `async_write`, the device->host snapshot
+    happens synchronously (so training can mutate params immediately after)
+    but serialization + disk IO run on a background thread — the "periodic
+    async checkpoint" capability from SURVEY.md §2.12 (the reference blocks
+    training for the full save).  Returns the writer thread (or None)."""
     folder = Path(folder)
     folder.mkdir(parents=True, exist_ok=True)
     params = jax.device_get(params)
     opt_state = jax.device_get(opt_state)
-    (folder / "model.msgpack").write_bytes(serialization.to_bytes(params))
-    (folder / "optimizer.msgpack").write_bytes(serialization.to_bytes(opt_state))
-    with open(folder / "trainer_state.json", "w") as f:
-        json.dump(trainer_state, f, indent=2)
+    if not async_write:
+        _write_checkpoint_files(folder, params, opt_state, trainer_state)
+        return None
+    t = threading.Thread(
+        target=_write_checkpoint_files,
+        args=(folder, params, opt_state, dict(trainer_state)),
+        daemon=False,
+    )
+    t.start()
+    return t
 
 
 def load_checkpoint(folder: Path, params_template, opt_state_template=None):

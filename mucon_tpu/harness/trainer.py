@@ -319,6 +319,7 @@ class SimpleTrainer:
                 self.save_training()
 
             self.on_finish_epoch(epoch)
+        self.wait_for_save()
 
     def _train_one_epoch(self) -> None:
         tf = self.model.teacher_forcing
@@ -387,9 +388,21 @@ class SimpleTrainer:
             "iter_num": self.iter_num,
             "scheduler": self.scheduler.state_dict() if self.scheduler else None,
         }
-        save_checkpoint(
-            self._get_checkpointing_folder(), self.params, self.opt_state, state
+        self.wait_for_save()  # one writer at a time
+        self._save_thread = save_checkpoint(
+            self._get_checkpointing_folder(),
+            self.params,
+            self.opt_state,
+            state,
+            async_write=bool(self.cfg.trainer.async_checkpoint),
         )
+
+    def wait_for_save(self) -> None:
+        """Block until any in-flight async checkpoint write finishes."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
 
     def latest_checkpoint(self, run=None):
         """(run, epoch) of the newest checkpoint, or None.  The recovery

@@ -116,3 +116,25 @@ def test_device_prefetch_bit_identical(setup):
 
     for a, b in zip(finals[0], finals[2]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_async_checkpoint_resume(setup, tmp_path):
+    """async_checkpoint writes the same restorable files; resume works."""
+    cfg, train_db, _, model = setup
+    cfg = cfg.clone()
+    cfg.trainer.root = str(tmp_path)
+    cfg.trainer.async_checkpoint = True
+    cfg.trainer.num_epochs = 1
+    cfg.trainer.save_every = 1
+    t = SimpleTrainer(cfg, "async_ckpt", train_db, model)
+    t.train()  # joins the writer before returning
+    assert t.latest_checkpoint() == ("0", 0)
+    p_trained = [np.asarray(x) for x in jax.tree.leaves(t.params)]
+
+    t2 = SimpleTrainer(cfg, "async_ckpt", train_db, model, run_number=0)
+    t2.load_training("0", 0)
+    for a, b in zip(jax.tree.leaves(t2.params), p_trained):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # no stray .tmp files (atomic rename)
+    ckpt = t.run_folder / "checkpoints" / "epoch_0"
+    assert not list(ckpt.glob("*.tmp"))
