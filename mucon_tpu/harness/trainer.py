@@ -124,10 +124,6 @@ class SimpleTrainer:
                     f"tpu.batch_size ({self.cfg.tpu.batch_size}) must be a "
                     f"multiple of the mesh data axis ({n_data})"
                 )
-            if self.accumulate_grad_every > 1:
-                raise NotImplementedError(
-                    "grad accumulation with tpu.mesh.enable is not supported"
-                )
 
     # -- template methods (fandak contract, trainers.py:60-106) -------------
     def update_trainer_using_config(self) -> None:
@@ -253,6 +249,13 @@ class SimpleTrainer:
         return step
 
     def _make_grad_fn(self, teacher_forcing: bool):
+        if self.mesh is not None:
+            from mucon_tpu.parallel.mesh import make_sharded_grad_step
+
+            return make_sharded_grad_step(
+                self.model, self.mesh, teacher_forcing,
+                self.accumulate_grad_every,
+            )
         model = self.model
         k = float(self.accumulate_grad_every)
 

@@ -128,6 +128,41 @@ def make_sharded_train_step(
     return step
 
 
+def make_sharded_grad_step(
+    model,
+    mesh: Mesh,
+    teacher_forcing: bool,
+    accumulate_grad_every: int,
+):
+    """jitted (params, acc, rng, arrays) -> (acc, loss) with sharded batches
+    — the gradient-accumulation counterpart of make_sharded_train_step."""
+    repl = NamedSharding(mesh, P())
+    arr_shardings = {
+        k: NamedSharding(mesh, spec) for k, spec in batch_specs().items()
+    }
+    k = float(accumulate_grad_every)
+
+    @partial(
+        jax.jit,
+        donate_argnums=(1,),
+        in_shardings=(None, None, repl, arr_shardings),
+    )
+    def grad_step(params, acc, rng, arrays):
+        def loss_fn(p):
+            fwd = model.forward(
+                p, arrays, rng=rng, train=True, teacher_forcing=teacher_forcing,
+                use_pallas=False,
+            )
+            loss = model.loss(fwd, arrays, teacher_forcing=teacher_forcing)
+            return loss.main / k, loss
+
+        grads, loss = jax.grad(loss_fn, has_aux=True)(params)
+        acc = jax.tree.map(jnp.add, acc, grads)
+        return acc, loss
+
+    return grad_step
+
+
 def make_sharded_forward(model, mesh: Mesh, teacher_forcing: bool = False):
     """jitted sharded inference forward (for evaluation at scale)."""
     arr_shardings = {

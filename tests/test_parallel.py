@@ -241,3 +241,49 @@ def test_evaluator_mesh_matches_single_device(tmp_path):
                 assert a == pytest.approx(b, abs=1e-4), k
         else:
             assert sv == pytest.approx(mv, abs=1e-4), k
+
+
+def test_trainer_mesh_grad_accumulation(tmp_path):
+    """Grad accumulation under a mesh == grad accumulation single-device."""
+    import json
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import SimpleTrainer
+
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(tmp_path / "data")
+    cfg.dataset.synthetic.num_videos = 8
+    cfg.dataset.synthetic.num_classes = 6
+    cfg.dataset.synthetic.feat_dim = 16
+    cfg.dataset.synthetic.min_len = 100
+    cfg.dataset.synthetic.max_len = 260
+    cfg.trainer.root = str(tmp_path / "runs")
+    cfg.trainer.num_epochs = 1
+    cfg.trainer.accumulate_grad_every = 2
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    cfg.model.ft.dropout_rate = 0.0
+    cfg.model.ft.last_dropout_rate = 0.0
+    cfg.model.fs.decoder.embedding_dropout = 0.0
+    cfg.tpu.batch_size = 2
+    cfg.tpu.pad_multiple = 64
+
+    train_db = handel_dataset(cfg, train=True)
+    model = create_model(cfg, train_db.get_num_classes(),
+                         train_db.max_transcript_length + 1, train_db.feat_dim)
+
+    finals = {}
+    for mode in ("single", "mesh"):
+        c = cfg.clone()
+        c.tpu.mesh.enable = mode == "mesh"
+        c.tpu.mesh.data = 2
+        t = SimpleTrainer(c, f"accmesh_{mode}", train_db, model)
+        t.train()
+        finals[mode] = [np.asarray(x) for x in jax.tree.leaves(t.params)]
+
+    for a, b in zip(finals["single"], finals["mesh"]):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
