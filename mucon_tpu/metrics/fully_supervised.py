@@ -102,9 +102,14 @@ class Edit(Metric):
         self.values: List[float] = []
 
     def add(self, targets, predictions) -> float:
-        score = edit_score(
-            recognized=predictions, ground_truth=targets, bg_class=self.ignore_ids
-        )
+        from mucon_tpu.native import edit_score_norm_native
+
+        score = edit_score_norm_native(predictions, targets, self.ignore_ids)
+        if score is None:
+            score = edit_score(
+                recognized=predictions, ground_truth=targets,
+                bg_class=self.ignore_ids,
+            )
         self.values.append(score)
         return score
 
@@ -128,9 +133,18 @@ class F1Score(Metric):
         self.fn = [0.0] * len(self.overlaps)
 
     def add(self, targets, predictions) -> List[float]:
+        from mucon_tpu.native import f_scores_multi_native
+
+        counts = f_scores_multi_native(
+            predictions, targets, self.overlaps, self.ignore_ids
+        )
+        if counts is None:
+            counts = [
+                f_score(predictions, targets, ov, self.ignore_ids)
+                for ov in self.overlaps
+            ]
         out = []
-        for s, ov in enumerate(self.overlaps):
-            tp1, fp1, fn1 = f_score(predictions, targets, ov, self.ignore_ids)
+        for s, (tp1, fp1, fn1) in enumerate(counts):
             self.tp[s] += tp1
             self.fp[s] += fp1
             self.fn[s] += fn1

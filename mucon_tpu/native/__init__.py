@@ -59,6 +59,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.levenshtein_matches.argtypes = [
         i64p, ctypes.c_int, i64p, ctypes.c_int, i64p, i64p,
     ]
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.f_scores_multi.restype = None
+    lib.f_scores_multi.argtypes = [
+        i64p, i64p, ctypes.c_int, i64p, ctypes.c_int, dp, ctypes.c_int, dp,
+    ]
+    lib.edit_score_norm.restype = ctypes.c_double
+    lib.edit_score_norm.argtypes = [
+        i64p, i64p, ctypes.c_int, i64p, ctypes.c_int,
+    ]
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.pad_copy_f32.restype = None
@@ -164,3 +173,33 @@ def pad_copy_labels_native(dst: np.ndarray, labels_list) -> bool:
         _ptr(lens), B, Tpad
     )
     return True
+
+
+def f_scores_multi_native(prediction, target, overlaps, bg_class):
+    """(tp, fp, fn) per IoU threshold in one native call, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    p, t = _as_i64(prediction), _as_i64(target)
+    if len(p) != len(t):
+        return None
+    bg = _as_i64(list(bg_class))
+    ovl = np.ascontiguousarray(np.asarray(overlaps, np.float64))
+    out = np.zeros((len(ovl), 3), np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.f_scores_multi(
+        _ptr(p), _ptr(t), len(t), _ptr(bg), len(bg),
+        ovl.ctypes.data_as(dp), len(ovl), out.ctypes.data_as(dp),
+    )
+    return out
+
+
+def edit_score_norm_native(prediction, target, bg_class):
+    lib = _load()
+    if lib is None:
+        return None
+    p, t = _as_i64(prediction), _as_i64(target)
+    if len(p) != len(t):
+        return None
+    bg = _as_i64(list(bg_class))
+    return lib.edit_score_norm(_ptr(p), _ptr(t), len(t), _ptr(bg), len(bg))

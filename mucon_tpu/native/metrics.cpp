@@ -123,4 +123,82 @@ void levenshtein_matches(const int64_t* a, int la, const int64_t* b, int lb,
   *out_matches = pm[lb];
 }
 
+
+// Segments with background labels dropped (MS-TCN protocol).
+static void segments_bg(const int64_t* y, int n, const int64_t* bg, int nbg,
+                        std::vector<int64_t>& labels, std::vector<int>& starts,
+                        std::vector<int>& ends) {
+  std::vector<int64_t> l;
+  std::vector<int> s, e;
+  segments_of(y, n, l, s, e);
+  labels.clear(); starts.clear(); ends.clear();
+  for (size_t i = 0; i < l.size(); ++i) {
+    if (contains(bg, nbg, l[i])) continue;
+    labels.push_back(l[i]);
+    starts.push_back(s[i]);
+    ends.push_back(e[i]);
+  }
+}
+
+// Segmental F1 counts at several IoU thresholds in one pass
+// (MS-TCN f_score semantics: per predicted segment, first-argmax IoU over
+// ALL GT segments gated by label equality; a GT segment may be hit once per
+// threshold).  out is [novl x 3] (tp, fp, fn per threshold).
+void f_scores_multi(const int64_t* pred, const int64_t* gt, int n,
+                    const int64_t* bg, int nbg,
+                    const double* overlaps, int novl, double* out) {
+  std::vector<int64_t> p_lab, y_lab;
+  std::vector<int> p_s, p_e, y_s, y_e;
+  segments_bg(pred, n, bg, nbg, p_lab, p_s, p_e);
+  segments_bg(gt, n, bg, nbg, y_lab, y_s, y_e);
+  const int np_ = static_cast<int>(p_lab.size());
+  const int ny = static_cast<int>(y_lab.size());
+
+  std::vector<char> hits(static_cast<size_t>(ny) * novl, 0);
+  std::vector<double> tp(novl, 0.0), fp(novl, 0.0);
+  std::vector<double> iou(ny);
+  for (int j = 0; j < np_; ++j) {
+    int best = 0;
+    double best_iou = -1e300;
+    for (int i = 0; i < ny; ++i) {
+      double inter = std::min(p_e[j], y_e[i]) - std::max(p_s[j], y_s[i]);
+      double uni = std::max(p_e[j], y_e[i]) - std::min(p_s[j], y_s[i]);
+      double v = (p_lab[j] == y_lab[i]) ? inter / uni : 0.0;
+      iou[i] = v;
+      if (v > best_iou) { best_iou = v; best = i; }  // first max wins
+    }
+    for (int s = 0; s < novl; ++s) {
+      if (ny > 0 && iou[best] >= overlaps[s] && !hits[best * novl + s]) {
+        tp[s] += 1.0;
+        hits[best * novl + s] = 1;
+      } else {
+        fp[s] += 1.0;
+      }
+    }
+  }
+  for (int s = 0; s < novl; ++s) {
+    double hit_count = 0.0;
+    for (int i = 0; i < ny; ++i) hit_count += hits[i * novl + s];
+    out[s * 3 + 0] = tp[s];
+    out[s * 3 + 1] = fp[s];
+    out[s * 3 + 2] = ny - hit_count;
+  }
+}
+
+// Normalized edit score between bg-dropped segment-label sequences
+// ((1 - d/max_len) * 100; empty-vs-empty scores 100).
+double edit_score_norm(const int64_t* pred, const int64_t* gt, int n,
+                       const int64_t* bg, int nbg) {
+  std::vector<int64_t> p_lab, y_lab;
+  std::vector<int> p_s, p_e, y_s, y_e;
+  segments_bg(pred, n, bg, nbg, p_lab, p_s, p_e);
+  segments_bg(gt, n, bg, nbg, y_lab, y_s, y_e);
+  int la = static_cast<int>(p_lab.size());
+  int lb = static_cast<int>(y_lab.size());
+  int m = std::max(la, lb);
+  if (m == 0) return 100.0;
+  double d = levenshtein(p_lab.data(), la, y_lab.data(), lb);
+  return (1.0 - d / m) * 100.0;
+}
+
 }  // extern "C"

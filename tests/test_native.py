@@ -163,3 +163,49 @@ def test_collate_padded_native_vs_python_batch():
     np.testing.assert_array_equal(b1.feats, b2.feats)
     np.testing.assert_array_equal(b1.gt_label, b2.gt_label)
     np.testing.assert_array_equal(b1.num_frames, b2.num_frames)
+
+
+def test_f_scores_multi_matches_python():
+    """Randomized parity: native multi-threshold f-score == python f_score."""
+    import numpy as np
+    from mucon_tpu.metrics.fully_supervised import f_score
+    from mucon_tpu.native import f_scores_multi_native
+
+    rng = np.random.RandomState(3)
+    overlaps = [0.1, 0.25, 0.5]
+    for trial in range(40):
+        T = rng.randint(5, 200)
+        n_cls = rng.randint(2, 6)
+        pred = rng.randint(0, n_cls, T)
+        gt = rng.randint(0, n_cls, T)
+        # make segments realistic: smooth with repeats
+        rep = rng.randint(1, 12)
+        pred = np.repeat(pred, rep)[:T]
+        gt = np.repeat(gt, rep)[:T]
+        bg = [0] if trial % 2 else []
+        counts = f_scores_multi_native(pred, gt, overlaps, bg)
+        if counts is None:
+            pytest.skip("native lib unavailable")
+        for s, ov in enumerate(overlaps):
+            ref = f_score(pred, gt, ov, bg)
+            assert tuple(counts[s]) == ref, (trial, ov, tuple(counts[s]), ref)
+
+
+def test_edit_score_norm_matches_python():
+    import numpy as np
+    from mucon_tpu.metrics.fully_supervised import edit_score
+    from mucon_tpu.native import edit_score_norm_native
+
+    rng = np.random.RandomState(4)
+    for trial in range(40):
+        T = rng.randint(1, 150)
+        pred = np.repeat(rng.randint(0, 5, T), rng.randint(1, 9))[:T]
+        gt = np.repeat(rng.randint(0, 5, T), rng.randint(1, 9))[:T]
+        bg = [0] if trial % 2 else []
+        v = edit_score_norm_native(pred, gt, bg)
+        if v is None:
+            pytest.skip("native lib unavailable")
+        ref = edit_score(pred, gt, norm=True, bg_class=bg)
+        assert v == pytest.approx(ref), trial
+    # all-background edge: both segmentations empty -> 100
+    assert edit_score_norm_native([0, 0], [0, 0], [0]) == pytest.approx(100.0)
