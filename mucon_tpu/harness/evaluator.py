@@ -189,11 +189,30 @@ class MuConEvaluator:
             self.viterbi_backend == "device"
             and not self.viterbi_multi_length
         )
-        for batch in self.create_dataloader():
-            arrays = self._batch_arrays(batch)
-            if fused:
-                self._batch_eval_fused(batch, params, arrays)
-            else:
+        if fused:
+            # double-buffered: dispatch batch k+1's device program before
+            # reading back batch k, so device compute/transfer overlaps the
+            # host-side traceback + metric updates
+            from collections import deque
+
+            import jax
+
+            prog = None
+            pending: deque = deque()
+            for batch in self.create_dataloader():
+                arrays = self._batch_arrays(batch)
+                if prog is None:
+                    prog = self._get_fused_program()
+                pending.append((batch, prog(params, arrays)))
+                if len(pending) > 1:
+                    b, out = pending.popleft()
+                    self._consume_fused(b, jax.device_get(out))
+            while pending:
+                b, out = pending.popleft()
+                self._consume_fused(b, jax.device_get(out))
+        else:
+            for batch in self.create_dataloader():
+                arrays = self._batch_arrays(batch)
                 fwd = self.model.forward(params, arrays, train=False)
                 self.batch_eval_calculation(batch, fwd)
         return self.on_finish_eval()
@@ -273,6 +292,9 @@ class MuConEvaluator:
         import jax
 
         out = jax.device_get(self._get_fused_program()(params, arrays))
+        self._consume_fused(batch, out)
+
+    def _consume_fused(self, batch: PaddedBatch, out: dict) -> None:
         M = self.test_db.get_num_classes()
         B = batch.batch_size
         tf = self.model.teacher_forcing
