@@ -163,6 +163,8 @@ def get_cfg_defaults() -> ConfigNode:
     _C.tpu.mesh.data = -1  # -1: all devices on the data axis
     _C.tpu.mesh.seq = 1  # sequence-parallel axis (halo-exchange conv)
     _C.tpu.remat = False  # jax.checkpoint the encoder stack
+    _C.tpu.early_exit_decode = True  # free-decode eval stops once every
+    # video emitted EOS (output-equivalent to the full-S scan)
     # device-side double buffering: issue device_put for batch k+1 while
     # batch k computes, hiding host->device latency behind the step
     # (0 disables; >=1 keeps that many batches in flight)

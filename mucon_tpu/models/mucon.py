@@ -179,6 +179,10 @@ class MuConNet(nn.Module):
     enc_bidirectional: bool = True
     dec_hidden: int = 128
     dec_embed_dropout: float = 0.25
+    early_exit_decode: bool = True  # free-decode eval: stop the decoder
+    # loop once every video has emitted EOS (output-equivalent; the scan
+    # always ran all S steps).  Train-time free decoding never early-exits
+    # (the transcript loss reads up to N_i+1 steps regardless of EOS).
     dtype: jnp.dtype = jnp.float32
     remat_encoder: bool = False  # jax.checkpoint the conv stack (trade
     # recompute for activation memory on very long videos)
@@ -271,14 +275,8 @@ class MuConNet(nn.Module):
         self.param("fs_decoder_attention_l3_kernel", l3_init, (2 * H, H))
         self.param("fs_decoder_attention_l3_bias", l3_init, (H,))
 
-        # ---- decoding scan (models.py:641-727) ----
-        scan_cell = nn.scan(
-            DecoderCell,
-            variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
-            out_axes=0,
-        )(
+        # ---- decoding loop (models.py:641-727) ----
+        cell_kwargs = dict(
             hidden=self.dec_hidden,
             enc_out_dim=enc_dim,
             num_classes=M,
@@ -288,11 +286,56 @@ class MuConNet(nn.Module):
             dtype=self.dtype,
             name="decoder",
         )
-        tokens_tf = jnp.swapaxes(tf_input[:, :S], 0, 1)  # [S x B]
         init_carry = (h0.astype(jnp.float32), c0.astype(jnp.float32), tf_input[:, 0])
-        _, (logprobs, lengths, tokens) = scan_cell(
-            init_carry, tokens_tf, enc_out, attn_pre, tz_mask
-        )
+
+        if not teacher_forcing and not train and self.early_exit_decode:
+            # EOS-terminated while_loop: the reference breaks out of its
+            # python loop at EOS (models.py:719-722); the scan version runs
+            # all S steps and masks.  This runs only until every video in
+            # the batch has emitted EOS — identical outputs on the consumed
+            # prefix (everything past a video's first EOS is ignored
+            # downstream), ~3x fewer sequential steps for trained models.
+            cell = DecoderCell(**cell_kwargs)
+            lp_buf = jnp.zeros((S, B, M + 1), jnp.float32)
+            len_buf = jnp.zeros((S, B), jnp.float32)
+            tok_buf = jnp.zeros((S, B), jnp.int32)
+            state0 = (
+                init_carry,
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((B,), bool),
+                (lp_buf, len_buf, tok_buf),
+            )
+
+            def cond_fn(mdl, state):
+                _, step, done, _ = state
+                return (step < S) & ~jnp.all(done)
+
+            def body_fn(mdl, state):
+                carry, step, done, (lp_b, ln_b, tk_b) = state
+                dummy_tf = jnp.zeros((B,), jnp.int32)
+                carry, (lp, ln, tok) = mdl(
+                    carry, dummy_tf, enc_out, attn_pre, tz_mask
+                )
+                lp_b = jax.lax.dynamic_update_index_in_dim(lp_b, lp, step, 0)
+                ln_b = jax.lax.dynamic_update_index_in_dim(ln_b, ln, step, 0)
+                tk_b = jax.lax.dynamic_update_index_in_dim(tk_b, tok, step, 0)
+                return (carry, step + 1, done | (tok == M), (lp_b, ln_b, tk_b))
+
+            _, _, _, (logprobs, lengths, tokens) = nn.while_loop(
+                cond_fn, body_fn, cell, state0, broadcast_variables=True
+            )
+        else:
+            scan_cell = nn.scan(
+                DecoderCell,
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+                out_axes=0,
+            )(**cell_kwargs)
+            tokens_tf = jnp.swapaxes(tf_input[:, :S], 0, 1)  # [S x B]
+            _, (logprobs, lengths, tokens) = scan_cell(
+                init_carry, tokens_tf, enc_out, attn_pre, tz_mask
+            )
         logprobs = jnp.swapaxes(logprobs, 0, 1)  # [B x S x (M+1)]
         lengths = jnp.swapaxes(lengths, 0, 1)  # [B x S]
         tokens = jnp.swapaxes(tokens, 0, 1)  # [B x S]
@@ -350,6 +393,7 @@ def build_model(cfg, num_classes: int, max_decoding_steps: int, input_feature_si
         enc_bidirectional=cfg.model.fs.encoder.bidirectional,
         dec_hidden=cfg.model.fs.decoder.hidden_size,
         dec_embed_dropout=cfg.model.fs.decoder.embedding_dropout,
+        early_exit_decode=cfg.tpu.early_exit_decode,
         dtype=dtype,
         remat_encoder=cfg.tpu.remat,
     )

@@ -248,3 +248,72 @@ def test_alternate_ft_types_forward_and_loss(model_and_batch, ft_type, expect_po
     g = jax.grad(loss_fn)(params)
     total = sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree.leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_early_exit_free_decode_matches_scan(model_and_batch):
+    """EOS-terminated while_loop free decode == full-S scan on every
+    consumed output (prefix up to each video's n_steps)."""
+    cfg, model, params, batch, _ = model_and_batch
+    import jax
+    from mucon_tpu.models.model import batch_to_arrays
+    from mucon_tpu.models.mucon import build_model
+
+    arrays = batch_to_arrays(batch)
+
+    outs = {}
+    for flag in (True, False):
+        c = cfg.clone()
+        c.tpu.early_exit_decode = flag
+        net = build_model(c, model.num_classes, model.max_decoding_steps,
+                          model.input_feature_size)
+        outs[flag] = jax.jit(
+            lambda p, a, n=net: n.apply(
+                {"params": p}, a["feats"], a["num_frames"], a["tf_input"],
+                a["transcript_len"], train=False, teacher_forcing=False,
+            )
+        )(params, arrays)
+
+    a, b = outs[True], outs[False]
+    np.testing.assert_array_equal(np.asarray(a.n_steps), np.asarray(b.n_steps))
+    for i in range(batch.batch_size):
+        n = int(a.n_steps[i])
+        np.testing.assert_allclose(
+            np.asarray(a.transcript[i, :n]), np.asarray(b.transcript[i, :n]),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(a.tokens[i, :n]), np.asarray(b.tokens[i, :n]))
+        np.testing.assert_allclose(
+            np.asarray(a.lengths[i, : max(n - 1, 0)]),
+            np.asarray(b.lengths[i, : max(n - 1, 0)]), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.segmentation), np.asarray(b.segmentation), rtol=1e-6)
+
+    # force an ACTUAL early exit: bias transcript_out hard toward EOS so
+    # every video emits it at step 0 and the while_loop stops immediately
+    import jax.numpy as jnp
+
+    p_eos = jax.tree.map(lambda x: x, params)
+    bias = np.zeros(M + 1, np.float32)
+    bias[M] = 1e4
+    p_eos["decoder"]["transcript_out"]["bias"] = (
+        p_eos["decoder"]["transcript_out"]["bias"] + jnp.asarray(bias)
+    )
+    arrays = batch_to_arrays(batch)
+    outs2 = {}
+    for flag in (True, False):
+        c = cfg.clone()
+        c.tpu.early_exit_decode = flag
+        net = build_model(c, model.num_classes, model.max_decoding_steps,
+                          model.input_feature_size)
+        outs2[flag] = jax.jit(
+            lambda p, a, n=net: n.apply(
+                {"params": p}, a["feats"], a["num_frames"], a["tf_input"],
+                a["transcript_len"], train=False, teacher_forcing=False,
+            )
+        )(p_eos, arrays)
+    a2, b2 = outs2[True], outs2[False]
+    assert np.all(np.asarray(a2.n_steps) == 1)  # EOS at step 0 everywhere
+    np.testing.assert_array_equal(np.asarray(a2.n_steps), np.asarray(b2.n_steps))
+    np.testing.assert_allclose(
+        np.asarray(a2.transcript[:, :1]), np.asarray(b2.transcript[:, :1]),
+        rtol=1e-6, atol=1e-6)
