@@ -22,8 +22,36 @@ import numpy as np
 BASELINE_VIDEOS_PER_SEC = 15.45  # midpoint of the reference's 14.7-16.2 it/s
 
 
+def _device_init_watchdog(timeout_s: float) -> None:
+    """Abort with a diagnosable JSON line if device init hangs (the axon
+    tunnel has been observed to accept TCP but never complete the
+    handshake, which would otherwise hang the bench forever)."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "train_videos_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "videos/s",
+                "vs_baseline": 0.0,
+                "error": f"device init exceeded {timeout_s:.0f}s "
+                         "(TPU tunnel down?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    import jax
+
+    jax.devices()  # blocks during tunnel connect
+    done.set()
+
+
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
+    _device_init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", "900")))
 
     import jax
     import jax.numpy as jnp
