@@ -129,6 +129,7 @@ class PaddedBatchLoader:
         drop_remainder: bool = False,
         prefetch: int = 2,
         fixed_batches: bool = False,
+        batch_divisor: int = 1,
     ):
         """`fixed_batches=True` freezes batch COMPOSITION across epochs
         (length-sorted groups) and shuffles only batch order — this makes
@@ -145,6 +146,13 @@ class PaddedBatchLoader:
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self.fixed_batches = fixed_batches
+        # mesh sharding needs every batch's video count divisible by the
+        # data axis; a divisible remainder batch is KEPT (it just compiles
+        # a second shape), only a non-divisible one is dropped — with a
+        # loud one-time warning, since under fixed_batches that drop would
+        # silently exclude the same videos every epoch
+        self.batch_divisor = max(1, batch_divisor)
+        self._warned_drop = False
         self.epoch = 0
         self.n_max = dataset.max_transcript_length
         # frame counts via mmap header reads — cheap one-time pass
@@ -158,6 +166,28 @@ class PaddedBatchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _filter_batches(self, batches: List[np.ndarray]) -> List[np.ndarray]:
+        if self.drop_remainder and len(batches[-1]) < self.batch_size:
+            batches = batches[:-1]
+        if self.batch_divisor > 1:
+            kept = [b for b in batches if len(b) % self.batch_divisor == 0]
+            if len(kept) < len(batches) and not self._warned_drop:
+                n_lost = sum(len(b) for b in batches) - sum(len(b) for b in kept)
+                import warnings
+
+                warnings.warn(
+                    f"PaddedBatchLoader: dropping {n_lost} video(s) whose "
+                    f"remainder batch is not divisible by the mesh data "
+                    f"axis ({self.batch_divisor}); with fixed_batches these "
+                    f"are the SAME videos every epoch — pick a batch size "
+                    f"so that len(dataset) % batch_size % {self.batch_divisor}"
+                    f" == 0 to train on everything",
+                    stacklevel=3,
+                )
+                self._warned_drop = True
+            batches = kept
+        return batches
+
     def _batch_indices(self) -> List[np.ndarray]:
         n = len(self.dataset)
         rng = np.random.RandomState(self.seed + self.epoch)
@@ -167,8 +197,7 @@ class PaddedBatchLoader:
                 order[i : i + self.batch_size]
                 for i in range(0, n, self.batch_size)
             ]
-            if self.drop_remainder and len(batches[-1]) < self.batch_size:
-                batches = batches[:-1]
+            batches = self._filter_batches(batches)
             if self.shuffle:
                 rng.shuffle(batches)
             return batches
@@ -185,8 +214,7 @@ class PaddedBatchLoader:
             order[i : i + self.batch_size]
             for i in range(0, n, self.batch_size)
         ]
-        if self.drop_remainder and len(batches[-1]) < self.batch_size:
-            batches = batches[:-1]
+        batches = self._filter_batches(batches)
         if self.shuffle:
             rng.shuffle(batches)
         return batches

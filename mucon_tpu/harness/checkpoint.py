@@ -32,19 +32,22 @@ from flax import serialization
 def _write_checkpoint_files(
     folder: Path, params_host, opt_state_host, trainer_state: dict
 ) -> None:
-    # write to temp names then rename: a crash mid-write never leaves a
-    # half-written checkpoint that load_training would trust
-    for name, obj in (("model", params_host), ("optimizer", opt_state_host)):
+    # every file goes through tmp-then-rename; model.msgpack (the file
+    # latest_checkpoint() keys on) is renamed LAST, so a crash at any
+    # point never leaves a checkpoint that load_training would trust
+    state_tmp = folder / "trainer_state.json.tmp"
+    with open(state_tmp, "w") as f:
+        json.dump(trainer_state, f, indent=2)
+    state_tmp.rename(folder / "trainer_state.json")
+    for name, obj in (("optimizer", opt_state_host), ("model", params_host)):
         tmp = folder / f"{name}.msgpack.tmp"
         tmp.write_bytes(serialization.to_bytes(obj))
         tmp.rename(folder / f"{name}.msgpack")
-    with open(folder / "trainer_state.json", "w") as f:
-        json.dump(trainer_state, f, indent=2)
 
 
 def save_checkpoint(
     folder: Path, params, opt_state, trainer_state: dict, async_write: bool = False
-) -> Optional[threading.Thread]:
+) -> Optional["_AsyncWriter"]:
     """Persist a checkpoint.  With `async_write`, the device->host snapshot
     happens synchronously (so training can mutate params immediately after)
     but serialization + disk IO run on a background thread — the "periodic
@@ -57,13 +60,29 @@ def save_checkpoint(
     if not async_write:
         _write_checkpoint_files(folder, params, opt_state, trainer_state)
         return None
-    t = threading.Thread(
-        target=_write_checkpoint_files,
-        args=(folder, params, opt_state, dict(trainer_state)),
-        daemon=False,
-    )
-    t.start()
-    return t
+    return _AsyncWriter(folder, params, opt_state, dict(trainer_state))
+
+
+class _AsyncWriter:
+    """Background checkpoint writer whose failure is NOT silent: join()
+    re-raises any writer-thread exception (e.g. ENOSPC) in the caller."""
+
+    def __init__(self, folder, params, opt_state, trainer_state):
+        self.error: Optional[BaseException] = None
+
+        def run():
+            try:
+                _write_checkpoint_files(folder, params, opt_state, trainer_state)
+            except BaseException as e:  # re-raised at join()
+                self.error = e
+
+        self._thread = threading.Thread(target=run, daemon=False)
+        self._thread.start()
+
+    def join(self) -> None:
+        self._thread.join()
+        if self.error is not None:
+            raise self.error
 
 
 def load_checkpoint(folder: Path, params_template, opt_state_template=None):

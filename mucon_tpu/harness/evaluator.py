@@ -212,7 +212,13 @@ class MuConEvaluator:
                 self._consume_fused(b, jax.device_get(out))
         else:
             for batch in self.create_dataloader():
-                arrays = self._batch_arrays(batch)
+                # host-backend (oracle) path: never mesh-pad — predict()
+                # and the metric loops index the UNPADDED batch
+                arrays = (
+                    self._batch_arrays(batch)
+                    if self._eval_mesh() is None
+                    else batch_to_arrays(batch)
+                )
                 fwd = self.model.forward(params, arrays, train=False)
                 self.batch_eval_calculation(batch, fwd)
         return self.on_finish_eval()
@@ -286,15 +292,9 @@ class MuConEvaluator:
             self._fused_cache[key] = prog
         return prog
 
-    def _batch_eval_fused(self, batch: PaddedBatch, params, arrays) -> None:
-        """One device program per batch (mucon_tpu/ops/eval_fused.py); the
-        host does only tracebacks and numpy metric updates."""
-        import jax
-
-        out = jax.device_get(self._get_fused_program()(params, arrays))
-        self._consume_fused(batch, out)
-
     def _consume_fused(self, batch: PaddedBatch, out: dict) -> None:
+        """Host half of one fused device program (mucon_tpu/ops/
+        eval_fused.py): tracebacks and numpy metric updates only."""
         M = self.test_db.get_num_classes()
         B = batch.batch_size
         tf = self.model.teacher_forcing

@@ -157,8 +157,12 @@ class SimpleTrainer:
             prefetch=max(1, self.cfg.system.num_workers),
             fixed_batches=self.cfg.tpu.cache_batches,
             # sharded batches must divide the mesh's data axis evenly (a
-            # short remainder batch would need loss-polluting dummy videos)
-            drop_remainder=self.mesh is not None,
+            # short remainder batch would need loss-polluting dummy videos);
+            # divisible remainder batches are kept, non-divisible ones are
+            # dropped with a loud warning in the loader
+            batch_divisor=(
+                self.mesh.shape["data"] if self.mesh is not None else 1
+            ),
         )
         return self._train_loader
 

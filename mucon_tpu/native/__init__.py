@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -20,6 +21,10 @@ _SRCS = [_DIR / "metrics.cpp", _DIR / "collate.cpp"]
 _LIB = _DIR / "_libnative.so"
 
 _lib: Optional[ctypes.CDLL] = None
+# _load is called from the loader's prefetch thread (collate) AND the main
+# thread (metrics); the build must be serialized and the .so written
+# atomically or CDLL can map a half-written library
+_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -27,13 +32,15 @@ def _build() -> bool:
         newest_src = max(s.stat().st_mtime for s in _SRCS)
         if _LIB.exists() and _LIB.stat().st_mtime >= newest_src:
             return True
+        tmp = _LIB.with_suffix(f".so.tmp.{os.getpid()}")
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
             + [str(s) for s in _SRCS]
-            + ["-o", str(_LIB)],
+            + ["-o", str(tmp)],
             check=True,
             capture_output=True,
         )
+        tmp.rename(_LIB)  # atomic: concurrent processes race benignly
         return True
     except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return False
@@ -45,6 +52,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if os.environ.get("MUCON_TPU_NO_NATIVE"):
         return None
+    with _lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:  # another thread won the race
+        return _lib
     if not _build():
         return None
     lib = ctypes.CDLL(str(_LIB))

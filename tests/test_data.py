@@ -122,3 +122,38 @@ def test_loader_fixed_batches(synth_cfg):
     # batch composition frozen across epochs; coverage complete
     assert comp1 == comp2
     assert sorted(n for b in comp1 for n in b) == sorted(db.file_names)
+
+
+def test_batch_divisor_keeps_divisible_remainder(tmp_path):
+    """Divisible remainder batches are kept under a mesh divisor; only a
+    non-divisible remainder is dropped, with a warning."""
+    import warnings
+    from mucon_tpu.config import get_cfg_defaults
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.data.batching import PaddedBatchLoader
+
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(tmp_path)
+    cfg.dataset.synthetic.num_videos = 8  # 6 train videos
+    cfg.dataset.synthetic.num_classes = 5
+    cfg.dataset.synthetic.feat_dim = 8
+    cfg.dataset.synthetic.min_len = 60
+    cfg.dataset.synthetic.max_len = 120
+    db = handel_dataset(cfg, train=True)
+    assert len(db) == 6
+
+    # 6 videos, bs=4, divisor 2: batches of 4 and 2 -> both kept
+    loader = PaddedBatchLoader(db, batch_size=4, pad_multiple=16,
+                               shuffle=False, batch_divisor=2)
+    sizes = sorted(b.batch_size for b in loader)
+    assert sizes == [2, 4]
+
+    # 6 videos, bs=4, divisor 4: the 2-video remainder is dropped + warned
+    loader = PaddedBatchLoader(db, batch_size=4, pad_multiple=16,
+                               shuffle=False, batch_divisor=4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sizes = [b.batch_size for b in loader]
+    assert sizes == [4]
+    assert any("dropping 2 video" in str(x.message) for x in w)
