@@ -72,6 +72,7 @@ def run(cfg, supervision: str = "weak"):
 
     trainer.train()
     trainer.save_training()
+    trainer.wait_for_save()  # surface async-write failures before reporting
 
     # full evaluation with viterbi decoding
     test_evaluator.viterbi_mode(True)

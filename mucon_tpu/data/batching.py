@@ -162,9 +162,12 @@ class PaddedBatchLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_remainder:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        sizes = [self.batch_size] * (n // self.batch_size)
+        if n % self.batch_size and not self.drop_remainder:
+            sizes.append(n % self.batch_size)
+        if self.batch_divisor > 1:
+            sizes = [s for s in sizes if s % self.batch_divisor == 0]
+        return len(sizes)
 
     def _filter_batches(self, batches: List[np.ndarray]) -> List[np.ndarray]:
         if self.drop_remainder and len(batches[-1]) < self.batch_size:

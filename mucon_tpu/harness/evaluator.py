@@ -295,9 +295,7 @@ class MuConEvaluator:
     def _consume_fused(self, batch: PaddedBatch, out: dict) -> None:
         """Host half of one fused device program (mucon_tpu/ops/
         eval_fused.py): tracebacks and numpy metric updates only."""
-        M = self.test_db.get_num_classes()
         B = batch.batch_size
-        tf = self.model.teacher_forcing
 
         s_transcripts, s_rel_lengths, vit_labels = [], [], []
         for i in range(B):

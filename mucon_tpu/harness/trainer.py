@@ -166,22 +166,28 @@ class SimpleTrainer:
         )
         return self._train_loader
 
-    def _put(self, arrays: dict) -> dict:
+    def _make_arrays(self, batch) -> dict:
+        """Batch -> device arrays.  Under a mesh, shard DIRECTLY from host
+        numpy (one transfer per shard) — going through batch_to_arrays
+        first would commit the full batch to device 0 and then reshard,
+        doubling traffic on the h2d-bound tunnel."""
         if self.mesh is None:
-            return {k: jax.device_put(v) for k, v in arrays.items()}
+            return batch_to_arrays(batch, feats_dtype=self._feats_dtype)
+        from mucon_tpu.models.model import batch_to_host_arrays
         from mucon_tpu.parallel.mesh import shard_batch_arrays
 
-        return shard_batch_arrays(self.mesh, arrays)
+        host = batch_to_host_arrays(batch, feats_dtype=self._feats_dtype)
+        return shard_batch_arrays(self.mesh, host)
 
     def _batch_arrays(self, batch) -> dict:
         if not self.cfg.tpu.cache_batches:
-            arrays = batch_to_arrays(batch, feats_dtype=self._feats_dtype)
-            return self._put(arrays) if self.mesh is not None else arrays
+            return self._make_arrays(batch)
         key = tuple(batch.video_names)
         arrays = self._batch_cache.get(key)
         if arrays is None:
-            arrays = batch_to_arrays(batch, feats_dtype=self._feats_dtype)
-            arrays = self._put(arrays)
+            arrays = self._make_arrays(batch)
+            if self.mesh is None:  # sharded arrays are already placed
+                arrays = {k: jax.device_put(v) for k, v in arrays.items()}
             self._batch_cache[key] = arrays
         return arrays
 
@@ -288,6 +294,14 @@ class SimpleTrainer:
 
     # -- main loop ----------------------------------------------------------------
     def train(self) -> None:
+        try:
+            self._train_epochs()
+        finally:
+            # surface any in-flight async-checkpoint failure even when an
+            # exception escapes the epoch loop
+            self.wait_for_save()
+
+    def _train_epochs(self) -> None:
         num_epochs = self.figure_num_epochs()
         start = self.epoch_num
         for epoch in range(start, num_epochs):

@@ -21,6 +21,7 @@ _SRCS = [_DIR / "metrics.cpp", _DIR / "collate.cpp"]
 _LIB = _DIR / "_libnative.so"
 
 _lib: Optional[ctypes.CDLL] = None
+_build_failed = False  # cache failure: never retry the g++ spawn per call
 # _load is called from the loader's prefetch thread (collate) AND the main
 # thread (metrics); the build must be serialized and the .so written
 # atomically or CDLL can map a half-written library
@@ -50,17 +51,20 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if os.environ.get("MUCON_TPU_NO_NATIVE"):
+    if _build_failed or os.environ.get("MUCON_TPU_NO_NATIVE"):
         return None
     with _lock:
         return _load_locked()
 
 
 def _load_locked() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _build_failed
     if _lib is not None:  # another thread won the race
         return _lib
+    if _build_failed:
+        return None
     if not _build():
+        _build_failed = True
         return None
     lib = ctypes.CDLL(str(_LIB))
     i64p = ctypes.POINTER(ctypes.c_int64)

@@ -72,8 +72,9 @@ def pad_batch_to_multiple(arrays: dict, multiple: int) -> dict:
     """Pad the batch (video) axis to a mesh-divisible size with dummy
     videos (num_frames=16 so downsampling never hits 0).  NOTE: the batch
     loss is a mean over videos, so dummy videos DO dilute it — use this
-    only for inference/eval shapes; training drops remainder batches
-    instead (SimpleTrainer sets drop_remainder when a mesh is active)."""
+    only for inference/eval shapes.  Training instead keeps divisible
+    remainder batches and drops (with a warning) only non-divisible ones
+    (SimpleTrainer passes batch_divisor=n_data to the loader)."""
     b = arrays["num_frames"].shape[0]
     target = -(-b // multiple) * multiple
     if target == b:
