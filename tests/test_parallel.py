@@ -287,3 +287,39 @@ def test_trainer_mesh_grad_accumulation(tmp_path):
 
     for a, b in zip(finals["single"], finals["mesh"]):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+
+def test_long_sequence_seq_parallel_step():
+    """North-star capability (SURVEY.md §2.12): a >10k-frame video trains
+    with the time axis sharded across the mesh's seq dimension."""
+    from mucon_tpu.data.utils import create_tf_input, create_tf_target
+    from mucon_tpu.data.general_dataset import Sample
+
+    T = 12288  # > 10k frames
+    M_, D_ = 5, 8
+    cfg = small_cfg()
+
+    rng = np.random.RandomState(0)
+    transcript = rng.randint(0, M_, 4).astype(np.int64)
+    sample = Sample(
+        feats=rng.randn(T - 100, D_).astype(np.float32),
+        gt_label=rng.randint(0, M_, T - 100).astype(np.int64),
+        transcript=transcript,
+        transcript_tf_input=create_tf_input(transcript, sos_i=M_ + 1),
+        transcript_tf_target=create_tf_target(transcript, eos_i=M_),
+        video_name="long",
+    )
+    batch = collate_padded([sample], n_max=NMAX, pad_multiple=2048)
+    assert batch.feats.shape[1] >= 12288
+
+    model = create_model(cfg, num_classes=M_, max_decoding_steps=NMAX + 1,
+                         input_feature_size=D_)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    tx = create_optimizer(cfg, model.param_partition(params))
+    opt_state = tx.init(params)
+
+    mesh = make_mesh(1, 8)  # all devices on the sequence axis
+    step = make_sharded_train_step(model, tx, mesh, teacher_forcing=True)
+    arrays = shard_batch_arrays(mesh, batch_to_arrays(batch))
+    _, _, loss = step(params, opt_state, jax.random.PRNGKey(1), arrays)
+    assert np.isfinite(float(loss.main))
