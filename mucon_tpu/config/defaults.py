@@ -57,6 +57,9 @@ def get_cfg_defaults() -> ConfigNode:
     # run folder's profile/ dir (view with tensorboard); -1 disables
     _C.trainer.async_checkpoint = False  # serialize+write checkpoints on a
     # background thread (device snapshot stays synchronous)
+    _C.trainer.keep_last_checkpoints = -1  # retention: delete all but the
+    # newest K epoch checkpoints after each save (-1 keeps everything,
+    # matching the reference's behavior)
     _C.trainer.scheduler = ConfigNode()
     _C.trainer.scheduler.name = "step"  # "none" | "plateau" | "step"
     _C.trainer.scheduler.plateau = ConfigNode()

@@ -417,6 +417,7 @@ class SimpleTrainer:
             state,
             async_write=bool(self.cfg.trainer.async_checkpoint),
         )
+        self._prune_checkpoints()
 
     def wait_for_save(self) -> None:
         """Block until any in-flight async checkpoint write finishes."""
@@ -424,6 +425,27 @@ class SimpleTrainer:
         if t is not None:
             t.join()
             self._save_thread = None
+
+    def _prune_checkpoints(self) -> None:
+        """Retention: keep only the newest K epoch checkpoints
+        (trainer.keep_last_checkpoints; -1 keeps all)."""
+        import shutil
+
+        k = int(self.cfg.trainer.keep_last_checkpoints)
+        if k < 0:
+            return
+        folder = self.run_folder / "checkpoints"
+        if not folder.exists():
+            return
+        epochs = sorted(
+            (
+                int(p.name.split("_", 1)[1])
+                for p in folder.iterdir()
+                if p.name.startswith("epoch_") and p.name.split("_", 1)[1].isdigit()
+            ),
+        )
+        for e in epochs[: max(0, len(epochs) - k)]:
+            shutil.rmtree(folder / f"epoch_{e}", ignore_errors=True)
 
     def latest_checkpoint(self, run=None):
         """(run, epoch) of the newest checkpoint, or None.  The recovery

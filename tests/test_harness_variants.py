@@ -138,3 +138,20 @@ def test_async_checkpoint_resume(setup, tmp_path):
     # no stray .tmp files (atomic rename)
     ckpt = t.run_folder / "checkpoints" / "epoch_0"
     assert not list(ckpt.glob("*.tmp"))
+
+
+def test_checkpoint_retention(setup, tmp_path):
+    cfg, train_db, _, model = setup
+    cfg = cfg.clone()
+    cfg.trainer.root = str(tmp_path)
+    cfg.trainer.num_epochs = 3
+    cfg.trainer.save_every = 1
+    cfg.trainer.keep_last_checkpoints = 2
+    t = SimpleTrainer(cfg, "retention", train_db, model)
+    t.train()
+    folder = t.run_folder / "checkpoints"
+    kept = sorted(p.name for p in folder.iterdir())
+    assert kept == ["epoch_1", "epoch_2"]
+    assert t.latest_checkpoint() == ("0", 2)
+    t2 = SimpleTrainer(cfg, "retention", train_db, model, run_number=0)
+    assert t2.resume_latest() is True
