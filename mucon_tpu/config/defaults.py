@@ -160,6 +160,9 @@ def get_cfg_defaults() -> ConfigNode:
     # v2 whole-batch layout with chunked backward (see CLAUDE.md status)
     _C.tpu.train_sweep_chunks = 3  # backward-sweep pallas programs (keeps
     # per-program matmul count under the remote Mosaic compiler's limit)
+    _C.tpu.use_pallas_loss = False  # fused mucon ("flint", box template)
+    # loss kernel: masks built in VMEM, never materialized to HBM
+    # (ops/mucon_loss_pallas.py); exact-grad custom VJP
     _C.tpu.mesh = ConfigNode()
     _C.tpu.mesh.enable = False  # multi-device SPMD training (data/seq axes);
     # requires tpu.batch_size % n_data == 0 (remainder batches are dropped)

@@ -126,8 +126,12 @@ def mucon_loss_video(
     tgt = jnp.clip(target_transcript, 0, M - 1)
 
     if cfg_static["mucon_type"] == "flint":
-        # masked mean of frame logits per segment -> log_softmax -> NLL
-        safe_len = jnp.where(seg_valid, jnp.maximum(abs_lengths, 1e-12), 1.0)
+        # masked mean of frame logits per segment -> log_softmax -> NLL.
+        # Reference quirk (masks.py:61-62 + models.py:460-464): create_masks
+        # widens L IN PLACE by (1 + 2*overlap), so the window division uses
+        # the WIDENED lengths (a no-op at the default overlap=0.0).
+        widened = abs_lengths * (1.0 + 2.0 * cfg_static["mucon_overlap"])
+        safe_len = jnp.where(seg_valid, jnp.maximum(widened, 1e-12), 1.0)
         window = (masks @ segmentation) / safe_len[:, None]  # [N_max x M] (MXU)
         window_lp = jax.nn.log_softmax(window, axis=1)
         return _nll(
@@ -184,6 +188,7 @@ def loss_static_config(cfg) -> dict:
         mucon_type=L.mucon.type,
         mucon_template=L.mucon.template,
         mucon_overlap=L.mucon.overlap,
+        use_pallas_loss=bool(getattr(cfg.tpu, "use_pallas_loss", False)),
         smoothing_log_softmax_before=L.smoothing.log_softmax_before,
         smoothing_clamp=L.smoothing.clamp,
         smoothing_clamp_min=L.smoothing.clamp_min,
@@ -226,9 +231,35 @@ def compute_loss(
     v_length = jax.vmap(partial(length_loss_video, cfg_static["length_width"]))(
         fwd.lengths, transcript_len
     )
-    v_mucon = jax.vmap(partial(mucon_loss_video, cfg_static))(
-        fwd.lengths, fwd.segmentation, mucon_target, transcript_len, num_frames
-    )
+    if (
+        cfg_static.get("use_pallas_loss")
+        and cfg_static["mucon_type"] == "flint"
+        and cfg_static["mucon_template"] == "box"
+    ):
+        from mucon_tpu.ops.mucon_loss_pallas import mucon_flint_fused
+
+        M = fwd.segmentation.shape[-1]
+        use_w = bool(cfg_static["mucon_weight_background"])
+        w = _class_weights(
+            M, True,
+            cfg_static["mucon_weight_background_index"],
+            cfg_static["mucon_weight_background_value"],
+        ) if use_w else jnp.ones((M,), jnp.float32)
+        v_mucon = mucon_flint_fused(
+            fwd.lengths[:, :n_max],
+            fwd.segmentation,
+            mucon_target,
+            transcript_len,
+            num_frames,
+            float(cfg_static["mucon_overlap"]),
+            use_w,
+            jax.default_backend() == "cpu",
+            w,
+        )
+    else:
+        v_mucon = jax.vmap(partial(mucon_loss_video, cfg_static))(
+            fwd.lengths, fwd.segmentation, mucon_target, transcript_len, num_frames
+        )
     v_smooth = jax.vmap(partial(smoothing_loss_video, cfg_static))(
         fwd.segmentation, num_frames
     )

@@ -1,4 +1,5 @@
 from mucon_tpu.ops.eval_fused import build_fused_eval
+from mucon_tpu.ops.mucon_loss_pallas import mucon_flint_fused, mucon_flint_pallas
 from mucon_tpu.ops.viterbi import (
     dense_viterbi_decode,
     dense_viterbi_decode_batch,
@@ -11,6 +12,8 @@ from mucon_tpu.ops.wavenet_train_pallas import wavenet_stack_train
 
 __all__ = [
     "build_fused_eval",
+    "mucon_flint_fused",
+    "mucon_flint_pallas",
     "dense_viterbi_decode",
     "dense_viterbi_decode_batch",
     "viterbi_precompute",
