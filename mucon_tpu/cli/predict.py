@@ -29,7 +29,7 @@ from mucon_tpu.data.general_dataset import Sample
 from mucon_tpu.data.utils import create_tf_input, create_tf_target
 from mucon_tpu.harness.checkpoint import load_checkpoint
 from mucon_tpu.models import create_model
-from mucon_tpu.models.model import batch_to_arrays
+from mucon_tpu.models.model import batch_to_arrays, resolve_pallas_flag
 from mucon_tpu.ops.eval_fused import build_fused_eval
 from mucon_tpu.ops.viterbi import _host_traceback
 
@@ -44,7 +44,7 @@ def predict_videos(model, params, feats_list, names, cfg, db):
         model,
         teacher_forcing=False,
         frame_sampling=frame_sampling,
-        use_pallas_viterbi=bool(cfg.tpu.use_pallas),
+        use_pallas_viterbi=resolve_pallas_flag(cfg.tpu.use_pallas),
     )
 
     results = []

@@ -154,10 +154,13 @@ def get_cfg_defaults() -> ConfigNode:
     # features, so padded batches can live in HBM and skip all host->device
     # transfer after the first epoch (freezes batch composition per epoch)
     _C.tpu.cache_batches = False
-    _C.tpu.use_pallas = False  # fused Pallas kernels (eval path: v2 stack
-    # encoder + in-kernel Viterbi DP — validated faster than XLA on v5e)
-    _C.tpu.use_pallas_train = False  # trainable fused stack (custom VJP);
-    # v2 whole-batch layout with chunked backward (see CLAUDE.md status)
+    _C.tpu.use_pallas = "auto"  # fused Pallas kernels (eval path: v2 stack
+    # encoder + in-kernel Viterbi DP — validated faster than XLA on v5e).
+    # "auto" = on for accelerator backends, off on CPU; True forces the
+    # kernels everywhere (CPU runs them in slow interpret mode).
+    _C.tpu.use_pallas_train = "auto"  # trainable fused stack (custom VJP,
+    # v2 whole-batch layout with chunked backward sweep): full train step
+    # 1.9x faster than XLA on v5e. Same tri-state as use_pallas.
     _C.tpu.train_sweep_chunks = 3  # backward-sweep pallas programs (keeps
     # per-program matmul count under the remote Mosaic compiler's limit)
     _C.tpu.use_pallas_loss = False  # fused mucon ("flint", box template)

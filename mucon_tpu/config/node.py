@@ -186,6 +186,9 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
         if not isinstance(value, (list, tuple)):
             raise TypeError(f"Cannot coerce {value!r} to list for key {key}")
         return list(value)
+    if isinstance(old, str) and isinstance(value, bool):
+        # tri-state leaves ("auto" | True | False), e.g. tpu.use_pallas
+        return value
     if type(old) is not type(value):
         if isinstance(old, _VALID_LEAF_TYPES) and isinstance(
             value, _VALID_LEAF_TYPES

@@ -43,7 +43,7 @@ from mucon_tpu.metrics import (
     Metric,
     MoFAccuracyMetric,
 )
-from mucon_tpu.models.model import batch_to_arrays
+from mucon_tpu.models.model import batch_to_arrays, resolve_pallas_flag
 from mucon_tpu.ops.viterbi import _host_traceback, dense_viterbi_decode_batch
 from mucon_tpu.utils import make_same_size_interpolate
 
@@ -284,7 +284,8 @@ class MuConEvaluator:
                 teacher_forcing=tf,
                 frame_sampling=self.frame_sampling,
                 # single-device pallas programs don't apply under GSPMD
-                use_pallas_viterbi=bool(self.cfg.tpu.use_pallas) and not sharded,
+                use_pallas_viterbi=resolve_pallas_flag(self.cfg.tpu.use_pallas)
+                and not sharded,
                 use_pallas_forward=not sharded,
             )
             if not hasattr(self, "_fused_cache"):

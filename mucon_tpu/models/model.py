@@ -26,6 +26,17 @@ from mucon_tpu.models.mucon import (
 from mucon_tpu.models.outputs import MuConForwardOut, MuConPredictOut
 
 
+def resolve_pallas_flag(v) -> bool:
+    """Tri-state pallas switches: "auto" -> kernels on for accelerator
+    backends, XLA on CPU; True/False force. (CPU with True runs the
+    kernels in slow interpret mode — used by tests.)"""
+    if isinstance(v, str):
+        if v == "auto":
+            return jax.default_backend() != "cpu"
+        raise ValueError(f"Invalid pallas flag {v!r} (use 'auto'|True|False)")
+    return bool(v)
+
+
 class MuConModel:
     """Owns the flax module + config; stateless apply helpers.
 
@@ -101,18 +112,19 @@ class MuConModel:
 
         z = tz = None
         if use_pallas is None:
-            use_pallas = bool(self.cfg.tpu.use_pallas)
+            use_pallas = resolve_pallas_flag(self.cfg.tpu.use_pallas)
+        ptrain = self.cfg.tpu.use_pallas_train
+        if ptrain == "auto":
+            # the dropout-on backward sweep currently over-allocates VMEM /
+            # kills the remote Mosaic compile (see CLAUDE.md); "auto" takes
+            # the kernel only for dropout-free configs. True forces it.
+            ptrain = (
+                resolve_pallas_flag("auto")
+                and self.cfg.model.ft.dropout_rate == 0.0
+            )
         if self.cfg.model.ft.type == "wavenet":
-            if train and (use_pallas and self.cfg.tpu.use_pallas_train):
-                import jax as _jax
-
-                # pltpu PRNG has no CPU interpret lowering: on cpu the
-                # trainable kernel only covers dropout-free configs
-                if not (
-                    _jax.default_backend() == "cpu"
-                    and self.cfg.model.ft.dropout_rate > 0
-                ):
-                    z, tz = self._encode_pallas_train(params, batch_arrays, rng)
+            if train and (use_pallas and bool(ptrain)):
+                z, tz = self._encode_pallas_train(params, batch_arrays, rng)
             elif not train and use_pallas:
                 z, tz = self._encode_pallas(params, batch_arrays)
 
@@ -155,6 +167,13 @@ class MuConModel:
             for p in self.cfg.model.ft.pooling_layers
             if p < len(self.cfg.model.ft.stages)
         )
+        drop = float(self.cfg.model.ft.dropout_rate)
+        sweep_chunks = int(self.cfg.tpu.train_sweep_chunks)
+        if drop > 0.0:
+            # dropout adds mask inputs to every program; programs holding
+            # >=3 layers at full T then exceed the remote compiler's
+            # per-request budget (CLAUDE.md saga) -- keep chunks small
+            sweep_chunks = max(sweep_chunks, 6)
         z = wavenet_stack_train_v2(
             x,
             lengths,
@@ -162,10 +181,10 @@ class MuConModel:
             *packed,
             tuple(self.cfg.model.ft.stages),
             tuple(int(p) for p in self.cfg.model.ft.pooling_layers),
-            float(self.cfg.model.ft.dropout_rate),
+            drop,
             bool(self.cfg.model.ft.leaky_relu),
             _jax.default_backend() == "cpu",
-            int(self.cfg.tpu.train_sweep_chunks),
+            sweep_chunks,
         )
         return z, lengths >> n_pools
 

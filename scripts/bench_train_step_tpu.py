@@ -33,6 +33,7 @@ def build(use_pallas_train: bool, dropout: float, dtype: str = "float32"):
 
     cfg = get_cfg_defaults()
     cfg.tpu.compute_dtype = dtype
+    cfg.tpu.train_sweep_chunks = int(os.environ.get("SWEEP_CHUNKS", "3"))
     if SMALL:
         cfg.model.ft.stages = [1, 2, 4]
         cfg.model.ft.pooling_layers = [0, 1]
@@ -128,36 +129,51 @@ def run(label, use_pallas_train, dropout, batch, arrays, n_time, n_curve,
     return curve, dt
 
 
+ARMS = {
+    "xla0": ("XLA[drop=0]", False, 0.0, "float32"),
+    "pallas0": ("pallas[drop=0]", True, 0.0, "float32"),
+    "xla25": ("XLA[drop=.25]", False, 0.25, "float32"),
+    "pallas25": ("pallas[drop=.25]", True, 0.25, "float32"),
+    "bf16": ("XLA-bf16[drop=.25]", False, 0.25, "bfloat16"),
+}
+
+
 def main():
+    import sys
+
+    names = sys.argv[1:] or ["xla0", "pallas0", "xla25", "pallas25", "bf16"]
     print("devices:", jax.devices(), flush=True)
     batch, arrays = make_batch()
     arrays = jax.device_put(arrays)
 
-    # deterministic comparison (dropout off)
-    cx, tx_ms = run("XLA[drop=0]", False, 0.0, batch, arrays,
-                    N_STEPS_TIME, N_STEPS_CURVE)
-    cp, tp_ms = run("pallas[drop=0]", True, 0.0, batch, arrays,
-                    N_STEPS_TIME, N_STEPS_CURVE)
-    dmax = max(abs(a - b) for a, b in zip(cx, cp))
-    print(f"curve max |diff| {dmax:.2e} over {N_STEPS_CURVE} steps "
-          f"(f32-accum tolerance ~1e-3)", flush=True)
-    print(f"SPEED drop=0: pallas {tp_ms:.2f} vs XLA {tx_ms:.2f} ms/step "
-          f"-> {tx_ms/tp_ms:.2f}x", flush=True)
+    results = {}
+    for name in names:
+        label, use_pt, drop, dtype = ARMS[name]
+        n_curve = N_STEPS_CURVE if drop == 0.0 else 3
+        try:
+            results[name] = run(label, use_pt, drop, batch, arrays,
+                                N_STEPS_TIME, n_curve, dtype)
+        except Exception as e:
+            print(f"{label} FAILED: {type(e).__name__}: {str(e)[:3000]}",
+                  flush=True)
 
-    # production config (dropout on; streams differ, sanity only)
-    cx2, tx2 = run("XLA[drop=.25]", False, 0.25, batch, arrays,
-                   N_STEPS_TIME, 3)
-    cp2, tp2 = run("pallas[drop=.25]", True, 0.25, batch, arrays,
-                   N_STEPS_TIME, 3)
-    print(f"SPEED drop=.25: pallas {tp2:.2f} vs XLA {tx2:.2f} ms/step "
-          f"-> {tx2/tp2:.2f}x", flush=True)
-
-    # bf16 compute path (XLA encoder; pallas kernels are f32-only)
-    cb, tb = run("XLA-bf16[drop=.25]", False, 0.25, batch, arrays,
-                 N_STEPS_TIME, 3, dtype="bfloat16")
-    print(f"SPEED bf16: {tb:.2f} vs f32 XLA {tx2:.2f} ms/step "
-          f"-> {tx2/tb:.2f}x (loss curve sanity: {['%.4f' % c for c in cb]})",
-          flush=True)
+    if "xla0" in results and "pallas0" in results:
+        (cx, tx_ms), (cp, tp_ms) = results["xla0"], results["pallas0"]
+        dmax = max(abs(a - b) for a, b in zip(cx, cp))
+        print(f"curve max |diff| {dmax:.2e} over {len(cx)} steps "
+              f"(f32-accum tolerance ~1e-3)", flush=True)
+        print(f"SPEED drop=0: pallas {tp_ms:.2f} vs XLA {tx_ms:.2f} ms/step "
+              f"-> {tx_ms/tp_ms:.2f}x", flush=True)
+    if "xla25" in results and "pallas25" in results:
+        tx2, tp2 = results["xla25"][1], results["pallas25"][1]
+        print(f"SPEED drop=.25: pallas {tp2:.2f} vs XLA {tx2:.2f} ms/step "
+              f"-> {tx2/tp2:.2f}x", flush=True)
+    if "bf16" in results and "xla25" in results:
+        cb, tb = results["bf16"]
+        tx2 = results["xla25"][1]
+        print(f"SPEED bf16: {tb:.2f} vs f32 XLA {tx2:.2f} ms/step "
+              f"-> {tx2/tb:.2f}x (loss sanity: {['%.4f' % c for c in cb]})",
+              flush=True)
 
 
 if __name__ == "__main__":

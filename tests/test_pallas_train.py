@@ -241,3 +241,102 @@ def test_train_kernel_v2_grads_match_v1(setup, chunks):
         np.testing.assert_allclose(
             np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-5, err_msg=name
         )
+
+
+@pytest.mark.parametrize("chunks", [1, 2])
+def test_train_kernel_v2_dropout_grads(setup, chunks):
+    """Dropout-on v2 grads vs an XLA replica driven by the kernel's own
+    XLA-generated masks (mathematically identical programs). Runs on CPU:
+    the v2 kernels are prng-free."""
+    from mucon_tpu.models.layers import mask_time
+    from mucon_tpu.models.temporal import pool2_time
+    from mucon_tpu.ops.wavenet_train_pallas_v2 import (
+        _fwd_call,
+        wavenet_stack_train_v2,
+    )
+
+    block, variables, xs, lengths, x_proj, packed = setup
+    rng = np.random.RandomState(3)
+    t_out = np.asarray(x_proj).shape[1] // 4
+    g_target = jnp.asarray(rng.randn(B, t_out, C).astype(np.float32))
+    ln = jnp.asarray(lengths)
+    seed = jnp.asarray(11, jnp.int32)
+    DROP = 0.25
+    interp = jax.default_backend() == "cpu"
+
+    # generic input WITHOUT exact relu zeros: when a whole pool pair is
+    # dropped the pair becomes (x0, x1), and exact x ties (from relu zeros)
+    # are tie-routing-ambiguous between mathematically identical programs
+    # with different fp op orders; generic floats keep ties measure-zero
+    from mucon_tpu.models.layers import mask_time as _mt
+    x_proj = _mt(
+        jnp.asarray(rng.randn(*np.asarray(x_proj).shape).astype(np.float32)),
+        ln,
+    )
+
+    # deterministic in the seed
+    def fwd(xp, pk, s):
+        w3, b3, w1, b1, wl, bl = pk
+        return wavenet_stack_train_v2(
+            xp, ln, s, w3, b3, w1, b1, wl, bl,
+            STAGES, POOLS, DROP, False, interp, chunks,
+        )
+
+    z0 = fwd(x_proj, packed, seed)
+    np.testing.assert_array_equal(
+        np.asarray(z0), np.asarray(fwd(x_proj, packed, seed))
+    )
+    assert np.abs(
+        np.asarray(z0) - np.asarray(fwd(x_proj, packed, seed + 1))
+    ).max() > 0
+
+    # grads vs masked XLA replica
+    w3, b3, w1, b1, wl, bl = packed
+    _, _, _, ms = _fwd_call(
+        x_proj, ln, seed, w3, b3, w1, b1, wl, bl,
+        STAGES, POOLS, DROP, False, interp,
+    )
+    ms = [jax.lax.stop_gradient(m) for m in ms]
+
+    def xla_loss(xp, pk):
+        w3_, b3_, w1_, b1_, wl_, bl_ = pk
+        xx = xp
+        l = ln
+        for i, d in enumerate(STAGES):
+            T_i = xx.shape[1]
+            left = jnp.pad(xx, ((0, 0), (d, 0), (0, 0)))[:, :T_i]
+            right = jnp.pad(xx, ((0, 0), (0, d), (0, 0)))[:, d:]
+            z = (
+                jnp.einsum("btc,cd->btd", left, w3_[i, 0])
+                + jnp.einsum("btc,cd->btd", xx, w3_[i, 1])
+                + jnp.einsum("btc,cd->btd", right, w3_[i, 2])
+                + b3_[i][None, None, :]
+            )
+            h = jnp.maximum(z, 0.0)
+            y = jnp.einsum("btc,cd->btd", h, w1_[i]) + b1_[i][None, None, :]
+            y = y * ms[i]
+            xx = mask_time(y + xx, l)
+            if i in POOLS:
+                # first-max tie routing (torch max_pool semantics, which
+                # the kernel reproduces; jnp.max's VJP splits ties)
+                p0, p1 = xx[:, 0::2], xx[:, 1::2]
+                xx = jnp.where(p0 >= p1, p0, p1)
+                l = l // 2
+                xx = mask_time(xx, l)
+        xx = jnp.maximum(xx, 0.0) @ wl_ + bl_
+        xx = mask_time(xx, l)
+        return jnp.sum(xx * g_target)
+
+    def ker_loss(xp, pk):
+        return jnp.sum(fwd(xp, pk, seed) * g_target)
+
+    gx = jax.grad(xla_loss, argnums=(0, 1))(x_proj, packed)
+    gk = jax.grad(ker_loss, argnums=(0, 1))(x_proj, packed)
+    np.testing.assert_allclose(
+        np.asarray(gk[0]), np.asarray(gx[0]), rtol=2e-4, atol=2e-4
+    )
+    names = ["w3", "b3", "w1", "b1", "w_last", "b_last"]
+    for name, a, b_ in zip(names, gk[1], gx[1]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=3e-4, atol=3e-4, err_msg=name
+        )
