@@ -67,71 +67,59 @@ def _flint_batch_xla(lengths_raw, segmentation, target, n_len, t_valid,
 
 
 def _flint_kernel(
-    overlap, n_videos, n_max, use_weights,
+    n_videos, n_max, use_weights,
     nlen_ref, tval_ref, tgt_ref,  # scalar prefetch
-    lraw_ref, seg_ref, w_ref,
+    scale_ref, xloc_ref, sdiv_ref, seg_ref, w_ref,
     out_ref,
 ):
+    """Mask gen + window matmul + NLL. The tiny per-segment vector math
+    (lengths softmax, cumsum, scale/offset) runs in XLA outside: Mosaic
+    cannot lower lane reductions on [1 x S] row vectors. All in-kernel
+    reductions are [S x M] row-wise or full-2D."""
     B = n_videos
     T, M = seg_ref.shape[1], seg_ref.shape[2]
-    S = lraw_ref.shape[1]
+    S = scale_ref.shape[1]
 
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)  # [1 x S]
-    tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    ).astype(jnp.float32)  # tri[i, j] = i <= j  (cumsum via MXU)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (S, T), 1)
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
+    rows_m = jax.lax.broadcasted_iota(jnp.int32, (S, M), 0)
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
 
     losses = []
     for b in range(B):
         nv = nlen_ref[b]
         tvi = tval_ref[b]
         tv = tvi.astype(jnp.float32)
-        validn = iota_s < nv  # [1 x S]
-        validn_f = validn.astype(jnp.float32)
-
-        # absolute lengths: tv * softmax over the nv real logits
-        logits = jnp.where(validn, lraw_ref[b][None, :], _NEG)
-        z = logits - jnp.max(logits, axis=1, keepdims=True)
-        e = jnp.exp(z) * validn_f
-        abs_len = tv * e / jnp.sum(e, axis=1, keepdims=True)  # [1 x S]
-
-        cum = jnp.dot(abs_len, tri, preferred_element_type=jnp.float32)
-        pis = cum - abs_len
-        Lw = abs_len * (1.0 + 2.0 * overlap)
-        pis = pis - Lw * (overlap / 2.0)
-        safe_L = jnp.where(validn, jnp.maximum(Lw, 1e-6), 1.0)
-        scale = tv / safe_L  # [1 x S]
-        xloc = -(pis + safe_L / 2.0 - tv / 2.0) / (safe_L / 2.0)
 
         # masks [S x T], closed-form box template (masks.py:19-74 semantics)
+        # scale/xloc/sdiv arrive lane-replicated [S x 8]; [:, :1] gives the
+        # column orientation without a 1-D relayout (Mosaic chokes on
+        # [1 x S] row-vector reductions/transposes)
         g = -1.0 + 2.0 * iota_t.astype(jnp.float32) / jnp.maximum(tv - 1.0, 1.0)
-        u = scale.reshape(S, 1) * g + xloc.reshape(S, 1)
-        c = (u + 1.0) * 0.5 * (TEMPLATE_WIDTH - 1)
+        scale = scale_ref[b][:, :1]  # [S x 1]
+        xloc = xloc_ref[b][:, :1]
+        c = (scale * g + xloc + 1.0) * 0.5 * (TEMPLATE_WIDTH - 1)
         m = jnp.clip(jnp.minimum(c + 1.0, TEMPLATE_WIDTH - c), 0.0, 1.0)
         m = jnp.where((c <= -1.0) | (c >= TEMPLATE_WIDTH), 0.0, m)
-        ok = (iota_t < tvi) & (iota_s.reshape(S, 1) < nv)
+        ok = (iota_t < tvi) & (rows_t < nv)
         masks = jnp.where(ok, m, 0.0)
 
         # masked mean window + log_softmax + NLL  (MXU matmul)
-        safe_div = jnp.where(validn, jnp.maximum(Lw, 1e-12), 1.0)
         window = jnp.dot(masks, seg_ref[b], preferred_element_type=jnp.float32)
-        window = window / safe_div.reshape(S, 1)
+        window = window / sdiv_ref[b][:, :1]
         wz = window - jnp.max(window, axis=1, keepdims=True)
         lsm = wz - jnp.log(jnp.sum(jnp.exp(wz), axis=1, keepdims=True))
 
         tgt = jnp.stack([tgt_ref[b, i] for i in range(n_max)])  # SMEM reads
         tgt = jnp.clip(tgt, 0, M - 1)
         onehot = (iota_m == tgt[:, None]).astype(jnp.float32)
-        picked = -jnp.sum(onehot * lsm, axis=1)  # [S]
-        if use_weights:
-            wsel = jnp.sum(onehot * w_ref[:][None, :], axis=1)
-        else:
-            wsel = jnp.ones((S,), jnp.float32)
-        wsel = wsel * validn_f.reshape(S)
-        loss_b = jnp.sum(picked * wsel) / jnp.maximum(jnp.sum(wsel), 1e-12)
+        valid_rows = (rows_m < nv).astype(jnp.float32)
+        wfull = (
+            onehot * w_ref[:][None, :] if use_weights else onehot
+        ) * valid_rows
+        num = jnp.sum(wfull * lsm)  # full-2D reductions -> scalars
+        den = jnp.sum(wfull)
+        loss_b = -num / jnp.maximum(den, 1e-12)
         losses.append(loss_b * jnp.ones((1, 8), jnp.float32))
 
     out_ref[:] = jnp.concatenate(losses, axis=0)
@@ -156,12 +144,31 @@ def mucon_flint_pallas(
     use_weights = weights is not None
     w = weights if use_weights else jnp.ones((M,), jnp.float32)
 
-    kernel = partial(_flint_kernel, float(overlap), B, n_max, use_weights)
+    # XLA prep: the tiny per-segment vector math (Mosaic cannot lower
+    # [1 x S] row reductions; see kernel docstring)
+    valid = jnp.arange(S)[None, :] < n_len[:, None]  # [B x S]
+    tv = t_valid.astype(jnp.float32)[:, None]
+    logits = jnp.where(valid, lengths_raw, -jnp.inf)
+    abs_len = tv * jax.nn.softmax(logits, axis=1)
+    pis = jnp.cumsum(abs_len, axis=1) - abs_len
+    Lw = abs_len * (1.0 + 2.0 * overlap)
+    pis = pis - Lw * (overlap / 2.0)
+    safe_L = jnp.where(valid, jnp.maximum(Lw, 1e-6), 1.0)
+    scale = tv / safe_L
+    xloc = -(pis + safe_L / 2.0 - tv / 2.0) / (safe_L / 2.0)
+    safe_div = jnp.where(valid, jnp.maximum(Lw, 1e-12), 1.0)
+
+    def rep8(a):  # lane-replicate [B x S] -> [B x S x 8]
+        return jnp.broadcast_to(a[:, :, None], (B, S, 8))
+
+    kernel = partial(_flint_kernel, B, n_max, use_weights)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((B, S), lambda g, *_: (0, 0)),
+            pl.BlockSpec((B, S, 8), lambda g, *_: (0, 0, 0)),
+            pl.BlockSpec((B, S, 8), lambda g, *_: (0, 0, 0)),
+            pl.BlockSpec((B, S, 8), lambda g, *_: (0, 0, 0)),
             pl.BlockSpec((B, T, M), lambda g, *_: (0, 0, 0)),
             pl.BlockSpec((M,), lambda g, *_: (0,)),
         ],
@@ -179,7 +186,9 @@ def mucon_flint_pallas(
         n_len.astype(jnp.int32),
         t_valid.astype(jnp.int32),
         target.astype(jnp.int32),
-        lengths_raw,
+        rep8(scale),
+        rep8(xloc),
+        rep8(safe_div),
         segmentation,
         w,
     )

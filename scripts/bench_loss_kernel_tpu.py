@@ -46,7 +46,7 @@ def main():
     def bench(label, f, *args):
         jf = jax.jit(f)
         t0 = time.time()
-        v = float(jf(*args))
+        v = float(jnp.sum(jax.tree.leaves(jf(*args))[0]))
         print(f"{label}: compile {time.time()-t0:.1f}s value={v:.5f}",
               flush=True)
         n = 50
