@@ -64,7 +64,10 @@ def main():
     from mucon_tpu.models import batch_to_arrays, create_model
 
     M, D = 48, 2048
-    B = int(os.environ.get("BENCH_BS", "4" if small else "16"))
+    # B=64: same train rate as 16 but 2.2x the eval rate (the fused-eval
+    # host traceback + dispatch amortize; encoder kernels auto-fall back
+    # to XLA past their VMEM cap, which XLA handles fine at this size)
+    B = int(os.environ.get("BENCH_BS", "4" if small else "64"))
     T_MIN, T_MAX = (256, 512) if small else (1500, 2100)
     PAD = 512
     N_TR = 6
@@ -163,14 +166,15 @@ def main():
     # step (the realistic end-to-end number when the input pipeline feeds
     # from host RAM)
     host_feats = np.asarray(batch.feats)
+    steps_h2d = 2 if small else 4  # wire-bound: ~B*T*D*4 bytes per step
     t0 = time.perf_counter()
-    for i in range(steps_measure):
+    for i in range(steps_h2d):
         key, k = jax.random.split(key)
         a = dict(arrays)
         a["feats"] = jax.device_put(host_feats)
         params, opt_state = train_step(params, opt_state, k, a)
     sync(params)
-    train_vps_h2d = B * steps_measure / (time.perf_counter() - t0)
+    train_vps_h2d = B * steps_h2d / (time.perf_counter() - t0)
 
     # secondary: the fused eval program (free-decode forward + Poisson prep
     # + dense Viterbi DP in one device call) + host traceback

@@ -106,9 +106,20 @@ class SimpleTrainer:
         # device-resident batch cache (tpu.cache_batches): static features
         # transfer once, epochs 2+ run with zero host->device traffic
         self._batch_cache: Dict[tuple, dict] = {}
-        self._feats_dtype = (
-            jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else None
-        )
+        transfer = getattr(cfg.tpu, "feats_transfer_dtype", "auto")
+        if transfer == "auto":
+            self._feats_dtype = (
+                jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else None
+            )
+        elif transfer == "float32":
+            self._feats_dtype = None
+        elif transfer in ("float16", "bfloat16"):
+            self._feats_dtype = jnp.dtype(transfer)
+        else:
+            raise ValueError(
+                f"Invalid tpu.feats_transfer_dtype {transfer!r} "
+                "(use 'auto'|'float32'|'float16'|'bfloat16')"
+            )
 
         # multi-device SPMD (tpu.mesh.enable): params replicated, batches
         # sharded over ("data", "seq"), gradient psum inserted by XLA —

@@ -153,6 +153,13 @@ class MuConModel:
         ft = params["ft"]
         feats = batch_arrays["feats"]
         lengths = batch_arrays["num_frames"]
+
+        # same VMEM-residency cap as _encode_pallas (XLA fallback beyond)
+        B, T = feats.shape[0], feats.shape[1]
+        C = int(self.cfg.model.ft.hidden_size)
+        if B * T * C * 4 > 32 * 1024 * 1024:
+            return None, None
+
         x = jnp.maximum(feats @ ft["Conv1x1_0"]["kernel"] + ft["Conv1x1_0"]["bias"], 0.0)
         x = mask_time(x, lengths)
         if rng is None:
@@ -201,6 +208,14 @@ class MuConModel:
         ft = params["ft"]
         feats = batch_arrays["feats"]
         lengths = batch_arrays["num_frames"]
+
+        # the whole-batch program keeps ~3 [B x T x C] tensors resident in
+        # VMEM; beyond ~32 MB per tensor it cannot fit -> XLA fallback
+        # (e.g. eval at B=64, T=2048)
+        B, T = feats.shape[0], feats.shape[1]
+        C = int(self.cfg.model.ft.hidden_size)
+        if B * T * C * 4 > 32 * 1024 * 1024:
+            return None, None
         w_in = ft["Conv1x1_0"]["kernel"]
         b_in = ft["Conv1x1_0"]["bias"]
         x = jnp.maximum(feats @ w_in + b_in, 0.0)

@@ -155,3 +155,33 @@ def test_checkpoint_retention(setup, tmp_path):
     assert t.latest_checkpoint() == ("0", 2)
     t2 = SimpleTrainer(cfg, "retention", train_db, model, run_number=0)
     assert t2.resume_latest() is True
+
+
+def test_f16_feature_transfer_trains_close(setup):
+    """tpu.feats_transfer_dtype=float16 halves the wire bytes; training
+    from the same init must land within f16-quantization distance of the
+    f32-transfer run (features are the only thing quantized)."""
+    cfg, train_db, _, model = setup
+
+    finals = {}
+    for dtype in ("float32", "float16"):
+        c = cfg.clone()
+        c.tpu.feats_transfer_dtype = dtype
+        t = SimpleTrainer(c, f"ftd_{dtype}", train_db, model)
+        t.train()
+        finals[dtype] = np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(t.params)]
+        )
+
+    a, b = finals["float32"], finals["float16"]
+    assert not np.array_equal(a, b)  # f16 quantization really happened
+    denom = np.abs(a).max()
+    assert np.abs(a - b).max() / denom < 5e-3, np.abs(a - b).max()
+
+
+def test_invalid_transfer_dtype_rejected(setup):
+    cfg, train_db, _, model = setup
+    cfg = cfg.clone()
+    cfg.tpu.feats_transfer_dtype = "int8"
+    with pytest.raises(ValueError):
+        SimpleTrainer(cfg, "bad_dtype", train_db, model)
