@@ -64,10 +64,10 @@ def main():
     from mucon_tpu.models import batch_to_arrays, create_model
 
     M, D = 48, 2048
-    # B=64: same train rate as 16 but 2.2x the eval rate (the fused-eval
-    # host traceback + dispatch amortize; encoder kernels auto-fall back
-    # to XLA past their VMEM cap, which XLA handles fine at this size)
-    B = int(os.environ.get("BENCH_BS", "4" if small else "64"))
+    # B=128: train 2334 videos/s (vs 2243 at B=16/64) and eval 1028
+    # videos/s (vs 377 at B=16) — dispatch + host-traceback amortize;
+    # encoder kernels auto-fall back to XLA past their VMEM cap
+    B = int(os.environ.get("BENCH_BS", "4" if small else "128"))
     T_MIN, T_MAX = (256, 512) if small else (1500, 2100)
     PAD = 512
     N_TR = 6
@@ -176,6 +176,46 @@ def main():
     sync(params)
     train_vps_h2d = B * steps_h2d / (time.perf_counter() - t0)
 
+    # secondary: bf16 compute (validated convergence; see CLAUDE.md) —
+    # same K-step scan with a bf16 model from the same init
+    bf16_vps = None
+    if not small and os.environ.get("BENCH_BF16", "1") == "1":
+        cfg16 = cfg.clone()
+        cfg16.tpu.compute_dtype = "bfloat16"
+        model16 = create_model(cfg16, num_classes=M, max_decoding_steps=31,
+                               input_feature_size=D)
+        params16 = model16.init_params(jax.random.PRNGKey(0), batch)
+        tx16 = create_optimizer(cfg16, model16.param_partition(params16))
+        opt16 = tx16.init(params16)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_k_steps16(params, opt_state, key, arrays):
+            def body(carry, k):
+                p, o = carry
+                def loss_fn(p):
+                    fwd = model16.forward(p, arrays, rng=k, train=True,
+                                          teacher_forcing=True)
+                    return model16.loss(fwd, arrays, teacher_forcing=True).main
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, o = tx16.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            keys = jax.random.split(key, steps_measure)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys
+            )
+            return params, opt_state, losses[-1]
+
+        params16, opt16, loss16 = train_k_steps16(
+            params16, opt16, key, arrays)
+        float(loss16)
+        t0 = time.perf_counter()
+        for _ in range(reps_k):
+            key, k = jax.random.split(key)
+            params16, opt16, loss16 = train_k_steps16(params16, opt16, k, arrays)
+        assert np.isfinite(float(loss16))
+        bf16_vps = B * steps_measure * reps_k / (time.perf_counter() - t0)
+
     # secondary: the fused eval program (free-decode forward + Poisson prep
     # + dense Viterbi DP in one device call) + host traceback
     from mucon_tpu.ops.eval_fused import build_fused_eval
@@ -213,6 +253,9 @@ def main():
                 "vs_baseline": round(train_vps / BASELINE_VIDEOS_PER_SEC, 3),
                 "batch_size": B,
                 "train_videos_per_sec_with_h2d": round(train_vps_h2d, 3),
+                "train_videos_per_sec_bf16": (
+                    round(bf16_vps, 3) if bf16_vps else None
+                ),
                 "eval_viterbi_videos_per_sec": round(eval_vps, 3),
                 "device": str(jax.devices()[0]),
             }
