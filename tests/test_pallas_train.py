@@ -340,3 +340,51 @@ def test_train_kernel_v2_dropout_grads(setup, chunks):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=3e-4, atol=3e-4, err_msg=name
         )
+
+
+def test_chunk_bounds_budget():
+    """Budget subdivision: contiguous cover, order preserved, no chunk's
+    stash exceeds the budget unless it is a single layer."""
+    import mucon_tpu.ops.wavenet_train_pallas_v2 as mod
+
+    t_ins = [2048, 2048, 1024, 512, 512, 256, 256, 256, 256, 128, 128]
+    B_, C_ = 8, 128
+    bounds = mod._chunk_bounds_budget(11, 3, t_ins, B_, C_, 2)
+    # cover exactly 0..11 in order
+    assert bounds[0][0] == 0 and bounds[-1][1] == 11
+    for (a, b), (c, d) in zip(bounds, bounds[1:]):
+        assert b == c and a < b
+    for lo, hi in bounds:
+        byte = sum(2 * B_ * t_ins[i] * C_ * 4 for i in range(lo, hi))
+        assert hi - lo == 1 or byte <= mod._CHUNK_BYTES_BUDGET
+    # the two T=2048 layers (16 MB stash each) can never share a chunk
+    assert not any(lo <= 0 and hi >= 2 for lo, hi in bounds)
+    # tiny shapes keep the plain count-based grouping
+    small = mod._chunk_bounds_budget(3, 2, [64, 64, 32], 2, 128, 2)
+    assert small == mod._chunk_bounds(3, 2)
+
+
+def test_budget_subdivision_grads_invariant(setup, monkeypatch):
+    """Forcing a tiny budget (many small programs) must not change values
+    or grads."""
+    import mucon_tpu.ops.wavenet_train_pallas_v2 as mod
+
+    block, variables, xs, lengths, x_proj, packed = setup
+    rng = np.random.RandomState(4)
+    t_out = np.asarray(x_proj).shape[1] // 4
+    g_target = jnp.asarray(rng.randn(B, t_out, C).astype(np.float32))
+
+    def loss(xp, pk):
+        return _kernel_loss_v2(xp, lengths, pk, g_target, 2)
+
+    ref_v = float(loss(x_proj, packed))
+    ref_g = jax.grad(loss, argnums=(0, 1))(x_proj, packed)
+
+    monkeypatch.setattr(mod, "_CHUNK_BYTES_BUDGET", 1)  # 1 layer per chunk
+    sub_v = float(loss(x_proj, packed))
+    sub_g = jax.grad(loss, argnums=(0, 1))(x_proj, packed)
+
+    assert sub_v == ref_v
+    np.testing.assert_array_equal(np.asarray(sub_g[0]), np.asarray(ref_g[0]))
+    for a, b_ in zip(sub_g[1], ref_g[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
