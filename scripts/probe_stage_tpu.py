@@ -50,7 +50,7 @@ def main():
     t_out = T // 16
     g = jnp.asarray(rng.randn(B, t_out, C).astype(np.float32))
 
-    for fc, sc in ((6, 6), (8, 8)):
+    for fc, sc in ((3, 3),):
         def loss(xp, p, fc=fc, sc=sc):
             z = wavenet_stack_train_v2(
                 xp, ln, seed, *p, STAGES, POOLS, DROP, False, False, sc, fc)
