@@ -166,15 +166,20 @@ def main():
     # step (the realistic end-to-end number when the input pipeline feeds
     # from host RAM)
     host_feats = np.asarray(batch.feats)
-    steps_h2d = 2 if small else 4  # wire-bound: ~B*T*D*4 bytes per step
-    t0 = time.perf_counter()
+    steps_h2d = 2 if small else 4  # wire-bound: ~B*T*D*4 bytes per step.
+    # Few steps (each moves gigabytes over the tunnel), so publish the
+    # BEST per-step rate rather than the mean — one bandwidth hiccup would
+    # otherwise skew the figure (ADVICE r1).
+    h2d_dts = []
     for i in range(steps_h2d):
         key, k = jax.random.split(key)
+        t0 = time.perf_counter()
         a = dict(arrays)
         a["feats"] = jax.device_put(host_feats)
         params, opt_state = train_step(params, opt_state, k, a)
-    sync(params)
-    train_vps_h2d = B * steps_h2d / (time.perf_counter() - t0)
+        sync(params)
+        h2d_dts.append(time.perf_counter() - t0)
+    train_vps_h2d = B / min(h2d_dts)
 
     # secondary: bf16 compute (validated convergence; see CLAUDE.md) —
     # same K-step scan with a bf16 model from the same init

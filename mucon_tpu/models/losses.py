@@ -231,10 +231,18 @@ def compute_loss(
     v_length = jax.vmap(partial(length_loss_video, cfg_static["length_width"]))(
         fwd.lengths, transcript_len
     )
+    # VMEM gate mirroring the encoder kernels' 32 MB residency check: the
+    # fused kernel runs grid=(1,) with the whole [B,T,M] segmentation block
+    # plus per-video [N_max,T] mask temporaries resident in VMEM; past the
+    # budget fall back to the vmapped XLA path instead of risking a Mosaic
+    # compile blowup at bench-scale shapes (B=128, T~2048).
+    _B, _T, _M = fwd.segmentation.shape
+    _loss_kernel_fits = (_B * _T * _M + _B * n_max * _T) * 4 <= 32 * 1024 * 1024
     if (
         cfg_static.get("use_pallas_loss")
         and cfg_static["mucon_type"] == "flint"
         and cfg_static["mucon_template"] == "box"
+        and _loss_kernel_fits
     ):
         from mucon_tpu.ops.mucon_loss_pallas import mucon_flint_fused
 
