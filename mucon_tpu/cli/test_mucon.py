@@ -12,9 +12,12 @@ Usage:
 import argparse
 from pathlib import Path
 
+import jax
+
 from mucon_tpu.config import get_cfg_defaults
 from mucon_tpu.data import handel_dataset
-from mucon_tpu.harness import MuConEvaluator, SimpleTrainer
+from mucon_tpu.harness import MuConEvaluator
+from mucon_tpu.harness.checkpoint import load_params
 from mucon_tpu.models import create_model
 
 
@@ -52,17 +55,18 @@ def single_main(identifier: str, root: str = "", data_root: str = ""):
     test_evaluator.set_name("test_eval")
     test_evaluator.viterbi_mode(True)
 
-    trainer = SimpleTrainer(
-        cfg=cfg,
-        exp_name=exp_name,
-        train_db=test_db,
-        model=model,
-        device=cfg.system.device,
-        evaluators=None,
+    # read-only restore: no trainer, no new run folder, no optimizer init
+    # (the reference's resume surface builds a full trainer; evaluation
+    # must not allocate/modify run folders)
+    params = load_params(
+        root,
+        exp_name,
+        run_number,
+        epoch_number,
+        params_template=model.init_params(jax.random.PRNGKey(0)),
     )
-    trainer.load_training(run=run_number, epoch=epoch_number)
 
-    eval_result = test_evaluator.evaluate(trainer.params)
+    eval_result = test_evaluator.evaluate(params)
     print(eval_result)
     return eval_result
 

@@ -85,6 +85,32 @@ class _AsyncWriter:
             raise self.error
 
 
+def checkpoint_folder(root, exp_name, run_number, epoch: int) -> Path:
+    """`<root>/<exp>/<run>/checkpoints/epoch_<n>` — the layout the trainer
+    writes (trainer.py:_get_checkpointing_folder)."""
+    return (
+        Path(root)
+        / exp_name
+        / str(run_number)
+        / "checkpoints"
+        / f"epoch_{int(epoch)}"
+    )
+
+
+def load_params(root, exp_name, run_number, epoch: int, params_template):
+    """Read-only parameter restore from a run folder.
+
+    Unlike `SimpleTrainer.load_training` (the reference's resume surface,
+    test_mucon.py:78), this never creates a run folder, never dumps a
+    config.yaml, and never touches optimizer state — the right entry for
+    evaluation-only flows (cli/test_mucon.py, cli/predict.py)."""
+    folder = checkpoint_folder(root, exp_name, run_number, epoch)
+    if not (folder / "model.msgpack").exists():
+        raise FileNotFoundError(f"no checkpoint at {folder}")
+    params, _, _ = load_checkpoint(folder, params_template)
+    return params
+
+
 def load_checkpoint(folder: Path, params_template, opt_state_template=None):
     """Returns (params, opt_state | None, trainer_state dict)."""
     folder = Path(folder)

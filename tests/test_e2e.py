@@ -79,10 +79,20 @@ def test_train_test_resume(tiny_args):
     assert len(events) >= 2
     assert events[-1]["main"] < events[0]["main"]
 
-    # resume-and-evaluate from the checkpoint alone (test_mucon flow)
+    # resume-and-evaluate from the checkpoint alone (test_mucon flow);
+    # evaluation must be READ-ONLY: no new run folders, no mtime changes
+    # anywhere under the experiment tree (VERDICT r1 weak #4)
+    def _tree_state(root):
+        return sorted(
+            (str(p.relative_to(root)), p.stat().st_mtime_ns)
+            for p in root.rglob("*")
+        )
+
+    before = _tree_state(run_root)
     result2 = test_mucon_cli.single_main(
         "e2e_test/0/1", root=str(run_root), data_root=""
     )
+    assert _tree_state(run_root) == before
     assert result2.vit_mof == pytest.approx(result.vit_mof, abs=1e-6)
     assert result2.s_mat_score == pytest.approx(result.s_mat_score, abs=1e-6)
     assert result2.y_mof == pytest.approx(result.y_mof, abs=1e-6)
