@@ -167,6 +167,27 @@ class NGram(Grammar):
     def score(self, context, label) -> float:
         return float(np.log(self._probability(tuple(context), label)))
 
+    def perplexity(self, transcript_file, label2index_map) -> float:
+        """Corpus perplexity exp(-mean log p) over a transcript file,
+        scoring each symbol (incl. END, excl. START-as-target) against its
+        truncated (ngram_order-1)-symbol context (reference
+        grammar.py:107-122)."""
+        log_pp = 0.0
+        n = 0
+        with open(transcript_file) as f:
+            lines = f.read().split("\n")[:-1]
+        for line in lines:
+            labels = (
+                [self.start_symbol()]
+                + [label2index_map[w] for w in line.split()]
+                + [self.end_symbol()]
+            )
+            for i, label in enumerate(labels):
+                context = tuple(labels[max(0, i - self.ngram_order + 1) : i])
+                log_pp += self.score(context, label)
+                n += 1
+        return float(np.exp(-log_pp / n))
+
     def update_context(self, context, label):
         context = context + (label,)
         if self.ngram_order == 1:

@@ -119,3 +119,96 @@ def test_path_grammar_decode_host():
     score, labels, segs = vd.decode(log_probs)
     assert [s.label for s in segs] == [0, 2]
     assert np.isfinite(score)
+
+
+# ---------------------------------------------------------------------------
+# Golden-value tests for the grammar family + length models (VERDICT r1 #9):
+# every constant below is hand-derived from the reference math
+# (grammar.py:40-138, length_model.py:19-39), including the upstream
+# quirks (normalization dict keyed by the OBSERVED ngram so unseen-bigram
+# lookups always miss, backoff scoring the context's last symbol).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def tiny_corpus(tmp_path):
+    """Two transcripts 'a b' / 'a c' -> pinned bigram statistics:
+    counts: ()=8, (-1,)=4, (0,)=2, (1,)=1, (2,)=1, (-2,)=2,
+            (-1,0)=2, (0,1)=1, (0,2)=1, (1,-2)=1, (2,-2)=1
+    lambdas: order0 = 2 singletons / 10 = 0.2; order1 = 4/6 = 2/3."""
+    f = tmp_path / "transcripts.txt"
+    f.write_text("a b\na c\n")
+    return str(f), {"a": 0, "b": 1, "c": 2}
+
+
+def test_ngram_golden_probabilities(tiny_corpus):
+    from mucon_tpu.decode.grammar import NGram
+
+    path, l2i = tiny_corpus
+    g = NGram(path, l2i, ngram_order=2)
+    assert g.lambdas == pytest.approx([0.2, 2.0 / 3.0])
+
+    # seen bigrams: count(ctx+l)/count(ctx) * (1 - lambda1)
+    assert g.score((0,), 1) == pytest.approx(np.log(0.5 * (1 / 3)))      # 1/6
+    assert g.score((0,), 2) == pytest.approx(np.log(0.5 * (1 / 3)))
+    assert g.score((-1,), 0) == pytest.approx(np.log((2 / 4) * (1 / 3)))
+    assert g.score((1,), -2) == pytest.approx(np.log(1.0 * (1 / 3)))
+    # unigram (empty context): count(l)/count(()) * (1 - lambda0)
+    assert g.score((), 0) == pytest.approx(np.log((2 / 8) * 0.8))        # 0.2
+    assert g.score((), 1) == pytest.approx(np.log((1 / 8) * 0.8))
+    # unseen bigram backoff: p(context[-1] | ()) * lambda1 (normalization
+    # lookup misses by construction -> divides by 1)
+    assert g.score((0,), -2) == pytest.approx(np.log(0.2 * (2 / 3)))
+    assert g.score((1,), 0) == pytest.approx(np.log(0.1 * (2 / 3)))
+
+    # context maintenance: order-2 keeps the last symbol only
+    assert g.update_context((0,), 1) == (1,)
+    assert g.possible_successors(()) == {0, 1, 2, -2}
+
+
+def test_ngram_unigram_order(tiny_corpus):
+    from mucon_tpu.decode.grammar import NGram
+
+    path, l2i = tiny_corpus
+    g = NGram(path, l2i, ngram_order=1)
+    # order-1 context is always empty
+    assert g.update_context((5,), 1) == ()
+    assert g.score((), 0) == pytest.approx(np.log((2 / 8) * (1 - g.lambdas[0])))
+
+
+def test_ngram_perplexity_golden(tiny_corpus):
+    from mucon_tpu.decode.grammar import NGram
+
+    path, l2i = tiny_corpus
+    g = NGram(path, l2i, ngram_order=2)
+    # per line: p(-1|()) = (4/8)*0.8 = 0.4, p(a|-1) = 1/6,
+    # p(b|a) = p(c|a) = 1/6, p(-2|b) = p(-2|c) = 1/3; N = 8 symbols
+    expected = (0.4 * (1 / 6) * (1 / 6) * (1 / 3)) ** -0.25
+    assert g.perplexity(path, l2i) == pytest.approx(expected)
+
+
+def test_mean_length_model_golden():
+    from mucon_tpu.decode.length_model import MeanLengthModel
+
+    m = MeanLengthModel(num_classes=5, max_length=2000, threshold=200.0,
+                        alpha=0.9)
+    assert m.score(1, 3) == 0.0
+    assert m.score(200, 0) == 0.0          # <= threshold -> free
+    assert m.score(201, 0) == pytest.approx(1.0 * np.log(0.9))
+    assert m.score(250, 4) == pytest.approx(50.0 * np.log(0.9))
+    assert m.score(2001, 0) == -np.inf     # > max_len
+    assert m.score(2000, 0) == pytest.approx(1800.0 * np.log(0.9))
+    assert m.max_length() == 2000
+    assert m.n_classes() == 5
+
+
+def test_multi_poisson_score_multi():
+    from mucon_tpu.decode.length_model import MultiPoissonModel, PoissonModel
+
+    mp = MultiPoissonModel([30.0, 55.0], num_classes=4)
+    ref0 = PoissonModel(np.full(4, 30.0, dtype=np.float32))
+    ref1 = PoissonModel(np.full(4, 55.0, dtype=np.float32))
+    assert mp.score_multi(0, 25, 2) == pytest.approx(ref0.score(25, 2))
+    assert mp.score_multi(1, 80, 1) == pytest.approx(ref1.score(80, 1))
+    with pytest.raises(NotImplementedError):
+        mp.score(10, 0)  # dead path preserved (length_model.py:107-108)
