@@ -26,8 +26,14 @@ def materialize_synthetic_dataset(
     seed: int = 0,
     train_fraction: float = 0.75,
     noise: float = 1.0,
+    n_splits: int = 1,
 ) -> Path:
-    """Write a synthetic dataset to `root` (idempotent). Returns `root`."""
+    """Write a synthetic dataset to `root` (idempotent). Returns `root`.
+
+    With `n_splits > 1`, writes split{1..n}.{train,test} as rotating
+    cross-validation folds (the Breakfast split convention,
+    breakfast.py:POSSIBLE_SPLITS); split1 keeps the `train_fraction`
+    partition for backward compatibility when n_splits == 1."""
     root = Path(root)
     done_marker = root / ".complete"
     if done_marker.exists():
@@ -75,11 +81,21 @@ def materialize_synthetic_dataset(
         np.save(root / "transcripts" / f"{name}.npy", transcript)
         np.save(root / "lengths" / f"{name}.npy", lengths.astype(np.float32))
 
-    n_train = max(1, int(round(train_fraction * num_videos)))
-    with open(root / "split1.train", "w") as f:
-        f.write("\n".join(names[:n_train]) + "\n")
-    with open(root / "split1.test", "w") as f:
-        f.write("\n".join(names[n_train:] or names[:1]) + "\n")
+    if n_splits <= 1:
+        n_train = max(1, int(round(train_fraction * num_videos)))
+        with open(root / "split1.train", "w") as f:
+            f.write("\n".join(names[:n_train]) + "\n")
+        with open(root / "split1.test", "w") as f:
+            f.write("\n".join(names[n_train:] or names[:1]) + "\n")
+    else:
+        fold = max(1, num_videos // n_splits)
+        for s in range(1, n_splits + 1):
+            test = names[(s - 1) * fold : s * fold] or names[:1]
+            train = [n for n in names if n not in test] or names[:1]
+            with open(root / f"split{s}.train", "w") as f:
+                f.write("\n".join(train) + "\n")
+            with open(root / f"split{s}.test", "w") as f:
+                f.write("\n".join(test) + "\n")
     done_marker.touch()
     return root
 

