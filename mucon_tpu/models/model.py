@@ -115,13 +115,10 @@ class MuConModel:
             use_pallas = resolve_pallas_flag(self.cfg.tpu.use_pallas)
         ptrain = self.cfg.tpu.use_pallas_train
         if ptrain == "auto":
-            # the dropout-on backward sweep currently over-allocates VMEM /
-            # kills the remote Mosaic compile (see CLAUDE.md); "auto" takes
-            # the kernel only for dropout-free configs. True forces it.
-            ptrain = (
-                resolve_pallas_flag("auto")
-                and self.cfg.model.ft.dropout_rate == 0.0
-            )
+            # v3 (pool-free programs + XLA glue) compiles within the remote
+            # helper's budget with dropout ON, so "auto" no longer requires
+            # dropout == 0 (the round-1 v2 limitation)
+            ptrain = resolve_pallas_flag("auto")
         if self.cfg.model.ft.type == "wavenet":
             if train and (use_pallas and bool(ptrain)):
                 z, tz = self._encode_pallas_train(params, batch_arrays, rng)
@@ -142,13 +139,14 @@ class MuConModel:
         )
 
     def _encode_pallas_train(self, params, batch_arrays, rng):
-        """Differentiable fused stack v2 (ops/wavenet_train_pallas_v2.py:
-        whole-batch forward with activation stash + chunked backward sweep)
-        with in-kernel dropout seeded from the step rng."""
+        """Differentiable fused stack v3 (ops/wavenet_train_pallas_v3.py:
+        pool-free equal-T programs with activation stash; pooling and its
+        gradient routing run in XLA between programs) with XLA-threefry
+        dropout masks seeded from the step rng."""
         import jax as _jax
         from mucon_tpu.models.layers import mask_time
         from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
-        from mucon_tpu.ops.wavenet_train_pallas_v2 import wavenet_stack_train_v2
+        from mucon_tpu.ops.wavenet_train_pallas_v3 import wavenet_stack_train_v3
 
         ft = params["ft"]
         feats = batch_arrays["feats"]
@@ -160,7 +158,9 @@ class MuConModel:
         if B * T * C * 4 > 32 * 1024 * 1024:
             return None, None
 
-        x = jnp.maximum(feats @ ft["Conv1x1_0"]["kernel"] + ft["Conv1x1_0"]["bias"], 0.0)
+        x = self._in_projection(
+            feats, ft["Conv1x1_0"]["kernel"], ft["Conv1x1_0"]["bias"]
+        )
         x = mask_time(x, lengths)
         if rng is None:
             seed = jnp.zeros((), jnp.int32)
@@ -175,25 +175,43 @@ class MuConModel:
             if p < len(self.cfg.model.ft.stages)
         )
         drop = float(self.cfg.model.ft.dropout_rate)
-        sweep_chunks = int(self.cfg.tpu.train_sweep_chunks)
-        if drop > 0.0:
-            # dropout adds mask inputs to every program; programs holding
-            # >=3 layers at full T then exceed the remote compiler's
-            # per-request budget (CLAUDE.md saga) -- keep chunks small
-            sweep_chunks = max(sweep_chunks, 6)
-        z = wavenet_stack_train_v2(
+        z = wavenet_stack_train_v3(
             x,
             lengths,
             seed,
             *packed,
             tuple(self.cfg.model.ft.stages),
             tuple(int(p) for p in self.cfg.model.ft.pooling_layers),
+            self.cfg.model.ft.pooling_type,
             drop,
             bool(self.cfg.model.ft.leaky_relu),
             _jax.default_backend() == "cpu",
-            sweep_chunks,
+            self._kernel_mm_dtype(),
         )
         return z, lengths >> n_pools
+
+    def _in_projection(self, feats, w_in, b_in):
+        """relu(feats @ W + b), the D->H input conv done by XLA before the
+        kernel; under bf16 the [B*T x 2048] matmul (the single biggest in
+        the encoder) runs on bf16 MXU operands with f32 accumulation."""
+        mm = self._kernel_mm_dtype()
+        if mm is not None:
+            B, T, D = feats.shape
+            y = jnp.dot(
+                feats.reshape(B * T, D).astype(mm),
+                w_in.astype(mm),
+                preferred_element_type=jnp.float32,
+            ).reshape(B, T, -1)
+            return jnp.maximum(y + b_in, 0.0)
+        return jnp.maximum(feats @ w_in + b_in, 0.0)
+
+    def _kernel_mm_dtype(self):
+        """bf16 MXU operands (f32 accumulation) inside the Pallas kernels
+        when the model computes in bf16 — composes the kernel and dtype
+        speedups (round-2 item: kernels were f32-only)."""
+        if self.cfg.tpu.compute_dtype == "bfloat16":
+            return jnp.bfloat16
+        return None
 
     def _encode_pallas(self, params, batch_arrays):
         """Fused Pallas WaveNet stack (ops/wavenet_pallas_v2.py — whole
@@ -216,9 +234,9 @@ class MuConModel:
         C = int(self.cfg.model.ft.hidden_size)
         if B * T * C * 4 > 32 * 1024 * 1024:
             return None, None
-        w_in = ft["Conv1x1_0"]["kernel"]
-        b_in = ft["Conv1x1_0"]["bias"]
-        x = jnp.maximum(feats @ w_in + b_in, 0.0)
+        x = self._in_projection(
+            feats, ft["Conv1x1_0"]["kernel"], ft["Conv1x1_0"]["bias"]
+        )
         x = mask_time(x, lengths)
         packed = pack_wavenet_params(ft, len(self.cfg.model.ft.stages))
         return wavenet_stack_pallas_v2(
@@ -230,6 +248,7 @@ class MuConModel:
             pooling_type=self.cfg.model.ft.pooling_type,
             leaky=self.cfg.model.ft.leaky_relu,
             interpret=_jax.default_backend() == "cpu",
+            mm_dtype=self._kernel_mm_dtype(),
         )
 
     def loss(

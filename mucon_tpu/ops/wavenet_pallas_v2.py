@@ -40,17 +40,25 @@ def _bt_mask(b, t, lengths):
     return (ids < lengths[:, None]).astype(jnp.float32)[:, :, None]
 
 
-def _matmul_bt(x, w):
-    """[B x T x C] @ [C x C'] through a flattened (B*T, C) MXU matmul."""
+def _matmul_bt(x, w, mm_dtype=None):
+    """[B x T x C] @ [C x C'] through a flattened (B*T, C) MXU matmul.
+
+    `mm_dtype=bfloat16` feeds the MXU bf16 operands (2x MXU throughput,
+    half the operand VMEM traffic) while ALWAYS accumulating in f32; the
+    residual state stays f32 in every kernel, so the bf16 mode is strictly
+    more precise than an end-to-end XLA bf16 stack."""
     B, T, C = x.shape
-    y = jnp.dot(
-        x.reshape(B * T, C), w, preferred_element_type=jnp.float32
-    )
+    a = x.reshape(B * T, C)
+    if mm_dtype is not None and a.dtype != mm_dtype:
+        a = a.astype(mm_dtype)
+    if mm_dtype is not None and w.dtype != mm_dtype:
+        w = w.astype(mm_dtype)
+    y = jnp.dot(a, w, preferred_element_type=jnp.float32)
     return y.reshape(B, T, w.shape[1])
 
 
 def _stack_kernel_v2(
-    stages, pooling_layers, pooling_type, leaky, t_in, n_videos,
+    stages, pooling_layers, pooling_type, leaky, t_in, n_videos, mm_dtype,
     len_ref,  # scalar prefetch [B]
     x_ref, w3_ref, b3_ref, w1_ref, b1_ref, wl_ref, bl_ref,
     out_ref,
@@ -63,14 +71,18 @@ def _stack_kernel_v2(
     t = t_in
     x = x_ref[:] * _bt_mask(B, t, lengths)
 
+    def cast(v):  # one cast per layer feeds all three shifted matmuls
+        return v if mm_dtype is None else v.astype(mm_dtype)
+
     for i, d in enumerate(stages):
+        xb = cast(x)
         z = (
-            _matmul_bt(_shift_batch(x, -d), w3_ref[i, 0])
-            + _matmul_bt(x, w3_ref[i, 1])
-            + _matmul_bt(_shift_batch(x, d), w3_ref[i, 2])
+            _matmul_bt(_shift_batch(xb, -d), w3_ref[i, 0], mm_dtype)
+            + _matmul_bt(xb, w3_ref[i, 1], mm_dtype)
+            + _matmul_bt(_shift_batch(xb, d), w3_ref[i, 2], mm_dtype)
             + b3_ref[i][None, None, :]
         )
-        y = _matmul_bt(nonlin(z), w1_ref[i]) + b1_ref[i][None, None, :]
+        y = _matmul_bt(cast(nonlin(z)), w1_ref[i], mm_dtype) + b1_ref[i][None, None, :]
         x = (y + x) * _bt_mask(B, t, lengths)
         if i in pooling_layers:
             pairs = x[:, : (t // 2) * 2].reshape(B, t // 2, 2, x.shape[2])
@@ -81,7 +93,7 @@ def _stack_kernel_v2(
             t, lengths = t // 2, lengths // 2
             x = x * _bt_mask(B, t, lengths)
 
-    x = _matmul_bt(nonlin(x), wl_ref[:]) + bl_ref[:][None, None, :]
+    x = _matmul_bt(cast(nonlin(x)), wl_ref[:], mm_dtype) + bl_ref[:][None, None, :]
     out_ref[:] = x * _bt_mask(B, t, lengths)
 
 
@@ -94,8 +106,11 @@ def wavenet_stack_pallas_v2(
     pooling_type: str = "max",
     leaky: bool = False,
     interpret: bool = False,
+    mm_dtype=None,
 ):
-    """Same contract as wavenet_stack_pallas (v1)."""
+    """Same contract as wavenet_stack_pallas (v1).  `mm_dtype=jnp.bfloat16`
+    runs the matmuls on bf16 MXU operands with f32 accumulation (residual
+    state stays f32)."""
     B, T, C = x.shape
     L = len(stages)
     n_pools = sum(1 for i in pooling_layers if i < L)
@@ -110,6 +125,7 @@ def wavenet_stack_pallas_v2(
         leaky,
         T,
         B,
+        mm_dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -135,6 +135,9 @@ ARMS = {
     "xla25": ("XLA[drop=.25]", False, 0.25, "float32"),
     "pallas25": ("pallas[drop=.25]", True, 0.25, "float32"),
     "bf16": ("XLA-bf16[drop=.25]", False, 0.25, "bfloat16"),
+    "bf16_0": ("XLA-bf16[drop=0]", False, 0.0, "bfloat16"),
+    "pallas0_bf16": ("pallas-bf16[drop=0]", True, 0.0, "bfloat16"),
+    "pallas25_bf16": ("pallas-bf16[drop=.25]", True, 0.25, "bfloat16"),
 }
 
 
@@ -174,6 +177,14 @@ def main():
         print(f"SPEED bf16: {tb:.2f} vs f32 XLA {tx2:.2f} ms/step "
               f"-> {tx2/tb:.2f}x (loss sanity: {['%.4f' % c for c in cb]})",
               flush=True)
+    if "pallas0_bf16" in results and "pallas0" in results:
+        tpb = results["pallas0_bf16"][1]
+        tpf = results["pallas0"][1]
+        print(f"SPEED pallas bf16 vs f32 (drop=0): {tpb:.2f} vs {tpf:.2f} "
+              f"ms/step -> {tpf/tpb:.2f}x", flush=True)
+        if "xla0" in results:
+            print(f"COMPOUND pallas-bf16 vs XLA-f32 (drop=0): "
+                  f"{results['xla0'][1]/tpb:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -218,3 +218,33 @@ def test_wavenet_stack_v2_matches_v1():
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_wavenet_stack_v2_bf16_close_to_f32():
+    """bf16 MXU mode of the eval kernel: f32-accumulated bf16 matmuls stay
+    within bf16 rounding of the f32 kernel (residual state is f32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mucon_tpu.models.layers import mask_time
+    from mucon_tpu.models.temporal import WaveNetBlock
+    from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+    from mucon_tpu.ops.wavenet_pallas_v2 import wavenet_stack_pallas_v2
+
+    STAGES, POOLS, B, T, C = (1, 2, 4), (0, 1), 2, 64, 16
+    rng = np.random.RandomState(0)
+    ln = jnp.asarray([50, 64], jnp.int32)
+    x = mask_time(jnp.asarray(rng.randn(B, T, C).astype(np.float32)), ln)
+    block = WaveNetBlock(in_channels=C, stages=STAGES, out_dims=C,
+                         pooling_layers=POOLS, dropout_rate=0.0)
+    v = block.init(jax.random.PRNGKey(0), x, ln, False)
+    pk = pack_wavenet_params(v["params"], len(STAGES))
+    z32, l32 = wavenet_stack_pallas_v2(
+        x, ln, *pk, stages=STAGES, pooling_layers=POOLS, interpret=True)
+    z16, l16 = wavenet_stack_pallas_v2(
+        x, ln, *pk, stages=STAGES, pooling_layers=POOLS, interpret=True,
+        mm_dtype=jnp.bfloat16)
+    assert np.array_equal(np.asarray(l32), np.asarray(l16))
+    scale = float(jnp.max(jnp.abs(z32))) + 1e-9
+    assert float(jnp.max(jnp.abs(z32 - z16))) / scale < 0.02

@@ -388,3 +388,245 @@ def test_budget_subdivision_grads_invariant(setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(sub_g[0]), np.asarray(ref_g[0]))
     for a, b_ in zip(sub_g[1], ref_g[1]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+# ---------------------------------------------------------------------------
+# bf16 matmul mode (mm_dtype=bfloat16): MXU operands in bf16, f32
+# accumulation, f32 residual state.  Exact equality with f32 is impossible
+# (bf16 rounding flips relu boundaries), so the contract tested here is
+# direction + scale: per-array gradient cosine similarity and norm ratio
+# against the f32 kernel, at bf16-commensurate tolerances.  End-to-end
+# convergence is validated on hardware (CLAUDE.md bf16 status).
+# ---------------------------------------------------------------------------
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na == 0 and nb == 0:
+        return 1.0
+    return float(a @ b / (na * nb + 1e-30))
+
+
+@pytest.mark.parametrize("drop", [0.0, 0.25])
+def test_train_kernel_v2_bf16_grads_direction(setup, drop):
+    from mucon_tpu.ops.wavenet_train_pallas_v2 import wavenet_stack_train_v2
+
+    block, variables, xs, lengths, x_proj, packed = setup
+    rng = np.random.RandomState(7)
+    t_out = np.asarray(x_proj).shape[1] // 4
+    g_target = jnp.asarray(rng.randn(B, t_out, C).astype(np.float32))
+    seed = jnp.asarray(11, jnp.int32)
+
+    def loss(xp, pk, mm):
+        z = wavenet_stack_train_v2(
+            xp, jnp.asarray(lengths), seed, *pk,
+            STAGES, POOLS, drop, False, True, 2, 0, mm,
+        )
+        return jnp.sum(z * g_target)
+
+    g32 = jax.grad(loss, argnums=(0, 1))(x_proj, packed, None)
+    g16 = jax.grad(loss, argnums=(0, 1))(x_proj, packed, jnp.bfloat16)
+
+    flat32 = [g32[0]] + list(g32[1])
+    flat16 = [g16[0]] + list(g16[1])
+    names = ["dx", "w3", "b3", "w1", "b1", "w_last", "b_last"]
+    for name, a, b in zip(names, flat32, flat16):
+        assert _cos(a, b) > 0.995, (name, _cos(a, b))
+        na, nb = np.linalg.norm(np.asarray(a)), np.linalg.norm(np.asarray(b))
+        if na > 1e-6:
+            assert abs(nb / na - 1.0) < 0.05, (name, na, nb)
+
+
+def test_train_kernel_v2_bf16_forward_close(setup):
+    from mucon_tpu.ops.wavenet_train_pallas_v2 import wavenet_stack_train_v2
+
+    block, variables, xs, lengths, x_proj, packed = setup
+    seed = jnp.asarray(0, jnp.int32)
+    z32 = wavenet_stack_train_v2(
+        x_proj, jnp.asarray(lengths), seed, *packed,
+        STAGES, POOLS, 0.0, False, True, 2, 0, None,
+    )
+    z16 = wavenet_stack_train_v2(
+        x_proj, jnp.asarray(lengths), seed, *packed,
+        STAGES, POOLS, 0.0, False, True, 2, 0, jnp.bfloat16,
+    )
+    scale = float(jnp.max(jnp.abs(z32))) + 1e-9
+    rel = float(jnp.max(jnp.abs(z32 - z16))) / scale
+    assert rel < 0.02, rel
+    assert _cos(z32, z16) > 0.9995
+
+
+# ---------------------------------------------------------------------------
+# v3: pool-free programs + XLA glue (ops/wavenet_train_pallas_v3.py).
+# Contract: bit-matches v2 given the same masks (same math, same threefry
+# stream); supports both pooling types and dropout at every size.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("pools,label", [
+    ((0, 1), "mid"),
+    ((0, 1, 2), "pooled-last"),  # projection moves to XLA after final pool
+])
+@pytest.mark.parametrize("drop", [0.0, 0.25])
+def test_train_kernel_v3_matches_v2(setup, pools, label, drop):
+    from mucon_tpu.ops.wavenet_train_pallas_v2 import wavenet_stack_train_v2
+    from mucon_tpu.ops.wavenet_train_pallas_v3 import wavenet_stack_train_v3
+
+    block, variables, xs, lengths, x_proj, packed = setup
+    rng = np.random.RandomState(3)
+    seed = jnp.asarray(7, jnp.int32)
+    n_pools = sum(1 for p in pools if p < len(STAGES))
+    t_out = T >> n_pools
+    g_target = jnp.asarray(rng.randn(B, t_out, C).astype(np.float32))
+
+    def l2(xp, p):
+        z = wavenet_stack_train_v2(
+            xp, jnp.asarray(lengths), seed, *p, STAGES, pools, drop,
+            False, True, 2, 0, None)
+        return jnp.sum(z * g_target)
+
+    def l3(xp, p):
+        z = wavenet_stack_train_v3(
+            xp, jnp.asarray(lengths), seed, *p, STAGES, pools, "max",
+            drop, False, True, None)
+        return jnp.sum(z * g_target)
+
+    v2v, g2 = jax.value_and_grad(l2, argnums=(0, 1))(x_proj, packed)
+    v3v, g3 = jax.value_and_grad(l3, argnums=(0, 1))(x_proj, packed)
+    assert float(v2v) == pytest.approx(float(v3v), abs=2e-5)
+    for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-5)
+
+
+def test_train_kernel_v3_sum_pool_matches_oracle(setup):
+    """'sum' pooling (avg*2) against XLA autodiff of the flax layers.
+    dx is compared only at VALID positions: the kernel masks padded dx to
+    zero while raw autodiff leaks conv-halo gradients there; the model
+    applies mask_time before the stack, so padded dx never matters."""
+    from mucon_tpu.models.layers import mask_time as mt
+    from mucon_tpu.models.temporal import WaveNetLayer, pool2_time
+    from mucon_tpu.ops.wavenet_train_pallas_v3 import wavenet_stack_train_v3
+
+    block, variables, xs, lengths, x_proj, packed = setup
+    pools = (0, 1)
+    rng = np.random.RandomState(5)
+    g_target = jnp.asarray(rng.randn(B, T >> 2, C).astype(np.float32))
+    ln = jnp.asarray(lengths)
+
+    def l3(xp, p):
+        z = wavenet_stack_train_v3(
+            xp, ln, jnp.asarray(0, jnp.int32), *p, STAGES, pools, "sum",
+            0.0, False, True, None)
+        return jnp.sum(z * g_target)
+
+    def lx(xp, p):
+        w3, b3, w1, b1, wl, bl = p
+        xx, l = xp, ln
+        for i, d in enumerate(STAGES):
+            layer = WaveNetLayer(C, d, dropout_rate=0.0)
+            xx = layer.apply(
+                {"params": {"DilatedConv3_0": {"kernel": w3[i], "bias": b3[i]},
+                            "Conv1x1_0": {"kernel": w1[i], "bias": b1[i]}}},
+                xx, l, False)
+            if i in pools:
+                xx = pool2_time(xx, "sum")
+                l = l // 2
+                xx = mt(xx, l)
+        xx = jax.nn.relu(xx) @ wl + bl
+        return jnp.sum(mt(xx, l) * g_target)
+
+    g3 = jax.grad(l3, argnums=(0, 1))(x_proj, packed)
+    gx = jax.grad(lx, argnums=(0, 1))(x_proj, packed)
+    valid = (np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None])
+    np.testing.assert_allclose(np.asarray(g3[0]) * valid,
+                               np.asarray(gx[0]) * valid,
+                               rtol=3e-4, atol=2e-4)
+    for kg, rg in zip(g3[1], gx[1]):
+        np.testing.assert_allclose(np.asarray(kg), np.asarray(rg),
+                                   rtol=3e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("drop", [0.0, 0.25])
+def test_train_kernel_v3_bf16_grads_direction(setup, drop):
+    from mucon_tpu.ops.wavenet_train_pallas_v3 import wavenet_stack_train_v3
+
+    block, variables, xs, lengths, x_proj, packed = setup
+    rng = np.random.RandomState(7)
+    t_out = np.asarray(x_proj).shape[1] // 4
+    g_target = jnp.asarray(rng.randn(B, t_out, C).astype(np.float32))
+    seed = jnp.asarray(11, jnp.int32)
+
+    def loss(xp, pk, mm):
+        z = wavenet_stack_train_v3(
+            xp, jnp.asarray(lengths), seed, *pk,
+            STAGES, POOLS, "max", drop, False, True, mm,
+        )
+        return jnp.sum(z * g_target)
+
+    g32 = jax.grad(loss, argnums=(0, 1))(x_proj, packed, None)
+    g16 = jax.grad(loss, argnums=(0, 1))(x_proj, packed, jnp.bfloat16)
+    names = ["dx", "w3", "b3", "w1", "b1", "w_last", "b_last"]
+    for name, a, b in zip(names, [g32[0]] + list(g32[1]),
+                          [g16[0]] + list(g16[1])):
+        assert _cos(a, b) > 0.995, (name, _cos(a, b))
+        na, nb = np.linalg.norm(np.asarray(a)), np.linalg.norm(np.asarray(b))
+        if na > 1e-6:
+            assert abs(nb / na - 1.0) < 0.05, (name, na, nb)
+
+
+def test_model_dropout_training_uses_v3(tmp_path):
+    """The flagship config (dropout 0.25) takes the pallas-train path when
+    forced on; grads are finite and the loss is identical-config
+    reproducible — the round-1 'auto requires dropout==0' gate is gone."""
+    from mucon_tpu.config import get_cfg_defaults
+    from mucon_tpu.models import create_model
+    from mucon_tpu.models.model import batch_to_arrays
+    from mucon_tpu.data.batching import collate_padded
+    from mucon_tpu.data.general_dataset import Sample
+    from mucon_tpu.data.utils import create_tf_input, create_tf_target
+
+    M, D, Tt = 6, 16, 128
+    cfg = get_cfg_defaults()
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    cfg.model.ft.dropout_rate = 0.25  # flagship default keeps dropout
+    cfg.tpu.use_pallas = True
+    cfg.tpu.use_pallas_train = True
+
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(2):
+        tr = rng.randint(0, M, size=3).astype(np.int64)
+        samples.append(Sample(
+            feats=rng.randn(Tt, D).astype(np.float32),
+            gt_label=rng.randint(0, M, size=Tt).astype(np.int64),
+            transcript=tr,
+            transcript_tf_input=create_tf_input(tr, sos_i=M + 1),
+            transcript_tf_target=create_tf_target(tr, eos_i=M),
+            video_name=f"v{i}",
+        ))
+    batch = collate_padded(samples, n_max=30, pad_multiple=64)
+    model = create_model(cfg, num_classes=M, max_decoding_steps=31,
+                        input_feature_size=D)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    arrays = batch_to_arrays(batch)
+
+    def loss_fn(p, key):
+        fwd = model.forward(p, arrays, rng=key, train=True,
+                            teacher_forcing=True)
+        return model.loss(fwd, arrays, teacher_forcing=True).main
+
+    key = jax.random.PRNGKey(1)
+    l1, grads = jax.value_and_grad(loss_fn)(params, key)
+    assert np.isfinite(float(l1))
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    l2 = loss_fn(params, key)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
