@@ -39,6 +39,8 @@ def get_cfg_defaults() -> ConfigNode:
     _C.dataset.synthetic.min_len = 256
     _C.dataset.synthetic.max_len = 2048
     _C.dataset.synthetic.seed = 0
+    _C.dataset.synthetic.train_fraction = 0.75  # split1 train share (e.g.
+    # 1460/1712 = Breakfast split-1 proportions for full-scale timed runs)
 
     # -- trainer (reference: src/configs/mucon/default.py:13-38) ------------
     _C.trainer = ConfigNode()

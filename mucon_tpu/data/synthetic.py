@@ -102,9 +102,11 @@ def materialize_synthetic_dataset(
 
 def _synthetic_root(cfg) -> Path:
     s = cfg.dataset.synthetic
+    tf = float(getattr(s, "train_fraction", 0.75))
+    suffix = "" if tf == 0.75 else f"_tf{tf:g}"
     root = Path(cfg.dataset.root) / (
         f"synthetic_v{s.num_videos}_c{s.num_classes}_d{s.feat_dim}"
-        f"_l{s.min_len}-{s.max_len}_s{s.seed}"
+        f"_l{s.min_len}-{s.max_len}_s{s.seed}{suffix}"
     )
     materialize_synthetic_dataset(
         root,
@@ -114,6 +116,7 @@ def _synthetic_root(cfg) -> Path:
         min_len=s.min_len,
         max_len=s.max_len,
         seed=s.seed,
+        train_fraction=tf,
     )
     return root
 

@@ -18,6 +18,7 @@ padded batches and reads scalars; batches prefetch on a host thread.
 from __future__ import annotations
 
 import dataclasses
+import time
 from collections import deque
 from functools import partial
 from pathlib import Path
@@ -354,6 +355,7 @@ class SimpleTrainer:
         self.wait_for_save()
 
     def _train_one_epoch(self) -> None:
+        self._epoch_t0 = time.perf_counter()
         tf = self.model.teacher_forcing
         loader = self.create_train_dataloader()
         accumulate = self.accumulate_grad_every
@@ -406,6 +408,7 @@ class SimpleTrainer:
                 for k, v in dataclasses.asdict(last_loss).items()
                 if np.ndim(v) == 0
             }
+            scalars["epoch_seconds"] = time.perf_counter() - self._epoch_t0
             self.logger.log("epoch", self.epoch_num, **scalars)
 
     # -- checkpointing (fandak contract) ---------------------------------------

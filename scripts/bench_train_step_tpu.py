@@ -115,15 +115,20 @@ def run(label, use_pallas_train, dropout, batch, arrays, n_time, n_curve,
         curve.append(float(loss.main))
     print(f"{label}: curve {['%.5f' % c for c in curve]}", flush=True)
 
-    # pipelined timing: chain steps, one readback at the end
-    t0 = time.time()
-    for k in range(n_time):
-        params, opt_state, loss = step(
-            params, opt_state, jax.random.PRNGKey(100 + k), arrays
-        )
-    final = float(loss.main)  # forces the whole chain
-    dt = (time.time() - t0) / n_time * 1e3
-    print(f"{label}: {dt:.2f} ms/step pipelined "
+    # pipelined timing: chain steps, one readback at the end; best of 3
+    # trials (single trials on this rig swing 2x with service load)
+    best = float("inf")
+    final = None
+    for rep in range(3):
+        t0 = time.time()
+        for k in range(n_time):
+            params, opt_state, loss = step(
+                params, opt_state, jax.random.PRNGKey(100 + k), arrays
+            )
+        final = float(loss.main)  # forces the whole chain
+        best = min(best, (time.time() - t0) / n_time * 1e3)
+    dt = best
+    print(f"{label}: {dt:.2f} ms/step pipelined best-of-3 "
           f"({B} videos -> {B/dt*1e3:.0f} videos/s), final loss {final:.5f}",
           flush=True)
     return curve, dt
