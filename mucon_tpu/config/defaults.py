@@ -168,8 +168,10 @@ def get_cfg_defaults() -> ConfigNode:
     _C.tpu.use_pallas_train = "auto"  # trainable fused stack (custom VJP,
     # v2 whole-batch layout with chunked backward sweep): full train step
     # 1.9x faster than XLA on v5e. Same tri-state as use_pallas.
-    _C.tpu.train_sweep_chunks = 3  # backward-sweep pallas programs (keeps
-    # per-program matmul count under the remote Mosaic compiler's limit)
+    _C.tpu.train_sweep_chunks = 3  # LEGACY (v2 kernel only): backward-sweep
+    # program count. The current v3 trainable stack derives its chunking
+    # from equal-T layer groups + the VMEM byte budget; this knob is kept
+    # for config compatibility and the v2 parity tests.
     _C.tpu.use_pallas_loss = False  # fused mucon ("flint", box template)
     # loss kernel: masks built in VMEM, never materialized to HBM
     # (ops/mucon_loss_pallas.py); exact-grad custom VJP
