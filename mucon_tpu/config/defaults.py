@@ -180,6 +180,8 @@ def get_cfg_defaults() -> ConfigNode:
     # requires tpu.batch_size % n_data == 0 (remainder batches are dropped)
     _C.tpu.mesh.data = -1  # -1: all devices on the data axis
     _C.tpu.mesh.seq = 1  # sequence-parallel axis (halo-exchange conv)
+    _C.tpu.mesh.model = 1  # tensor-parallel axis (conv-stack channels
+    # sharded via parallel.mesh.param_specs; GSPMD inserts collectives)
     _C.tpu.remat = False  # jax.checkpoint the encoder stack
     _C.tpu.early_exit_decode = True  # free-decode eval stops once every
     # video emitted EOS (output-equivalent to the full-S scan)

@@ -136,6 +136,14 @@ class SimpleTrainer:
                     f"tpu.batch_size ({self.cfg.tpu.batch_size}) must be a "
                     f"multiple of the mesh data axis ({n_data})"
                 )
+            if self.mesh.shape.get("model", 1) > 1:
+                # tensor parallelism: commit the conv-stack channels to the
+                # "model" axis and rebuild the optimizer state from the
+                # committed tree so it inherits the same layout
+                from mucon_tpu.parallel.mesh import shard_params
+
+                self.params = shard_params(self.mesh, self.params)
+                self.opt_state = self.tx.init(self.params)
 
     # -- template methods (fandak contract, trainers.py:60-106) -------------
     def update_trainer_using_config(self) -> None:

@@ -5,7 +5,9 @@ from mucon_tpu.parallel.mesh import (
     make_sharded_train_step,
     mesh_from_config,
     pad_batch_to_multiple,
+    param_specs,
     shard_batch_arrays,
+    shard_params,
 )
 
 __all__ = [
@@ -14,6 +16,8 @@ __all__ = [
     "batch_specs",
     "shard_batch_arrays",
     "pad_batch_to_multiple",
+    "param_specs",
+    "shard_params",
     "make_sharded_train_step",
     "make_sharded_forward",
 ]

@@ -28,20 +28,61 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data: int = -1, n_seq: int = 1, devices=None) -> Mesh:
-    """Mesh with ("data", "seq") axes. n_data=-1 uses all remaining devices."""
+def make_mesh(
+    n_data: int = -1, n_seq: int = 1, n_model: int = 1, devices=None
+) -> Mesh:
+    """Mesh with ("data", "seq", "model") axes. n_data=-1 uses all
+    remaining devices.  The "model" axis is the tensor-parallel axis
+    (param_specs shards the conv-stack channels over it); it defaults to 1
+    and is a pure pass-through then."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if n_data == -1:
-        assert n % n_seq == 0, (n, n_seq)
-        n_data = n // n_seq
-    assert n_data * n_seq <= n, (n_data, n_seq, n)
-    grid = devices[: n_data * n_seq].reshape(n_data, n_seq)
-    return Mesh(grid, ("data", "seq"))
+        assert n % (n_seq * n_model) == 0, (n, n_seq, n_model)
+        n_data = n // (n_seq * n_model)
+    assert n_data * n_seq * n_model <= n, (n_data, n_seq, n_model, n)
+    grid = devices[: n_data * n_seq * n_model].reshape(n_data, n_seq, n_model)
+    return Mesh(grid, ("data", "seq", "model"))
 
 
 def mesh_from_config(cfg, devices=None) -> Mesh:
-    return make_mesh(cfg.tpu.mesh.data, cfg.tpu.mesh.seq, devices)
+    n_model = int(getattr(cfg.tpu.mesh, "model", 1))
+    return make_mesh(
+        cfg.tpu.mesh.data, cfg.tpu.mesh.seq, n_model, devices=devices
+    )
+
+
+def param_specs(params):
+    """Tensor-parallel PartitionSpecs for the parameter tree.
+
+    The conv stack ("ft") carries essentially all parameter FLOPs (the
+    2048->128 in-projection plus 11 dilated C x C layers over every
+    frame); its channel (last) axis is sharded over the mesh's "model"
+    axis — column-parallel in the Megatron sense, with GSPMD inserting
+    the boundary collectives from the annotations alone.  The decoder /
+    LSTM / head parameters stay replicated: at hidden size 128 a sharded
+    recurrent scan would pay a collective per step for no MXU win.  New
+    capability vs the single-device reference (SURVEY.md §2.12 TP row).
+    """
+
+    def spec_for(path, leaf):
+        top = getattr(path[0], "key", None)
+        if top == "ft" and leaf.ndim >= 1:
+            return P(*([None] * (leaf.ndim - 1) + ["model"]))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(mesh: Mesh, params):
+    """Commit the parameter tree to the mesh: ft channels model-sharded
+    (param_specs), everything else replicated.  Re-initializing the
+    optimizer from the committed tree makes its state inherit the same
+    layout."""
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), params, specs
+    )
 
 
 def batch_specs() -> dict:

@@ -14,6 +14,7 @@ from mucon_tpu.parallel import (
     make_sharded_train_step,
     pad_batch_to_multiple,
     shard_batch_arrays,
+    shard_params,
 )
 from tests.test_model import M, D, NMAX, make_sample, small_cfg
 
@@ -34,13 +35,15 @@ def setup():
     return cfg, model, params, batch
 
 
-@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (2, 2, 2), (4, 1, 2)])
 def test_sharded_train_step_runs(setup, shape):
     cfg, model, params, batch = setup
     mesh = make_mesh(*shape)
     tx = create_optimizer(cfg, model.param_partition(params))
     before = jax.tree.map(np.asarray, params)  # snapshot (step donates)
     params_in = jax.tree.map(jnp.array, params)
+    if mesh.shape["model"] > 1:
+        params_in = shard_params(mesh, params_in)
     opt_state = tx.init(params_in)
     step = make_sharded_train_step(model, tx, mesh, teacher_forcing=True)
     arrays = shard_batch_arrays(mesh, batch_to_arrays(batch))
@@ -66,6 +69,8 @@ def test_dp_sp_matches_single_device(setup):
         mesh = make_mesh(*mesh_shape)
         tx = create_optimizer(cfg, model.param_partition(params))
         params_in = jax.tree.map(jnp.array, params)  # fresh (step donates)
+        if mesh.shape["model"] > 1:
+            params_in = shard_params(mesh, params_in)
         opt_state = tx.init(params_in)
         step = make_sharded_train_step(model, tx, mesh, teacher_forcing=True)
         sharded = shard_batch_arrays(mesh, arrays)
@@ -76,8 +81,12 @@ def test_dp_sp_matches_single_device(setup):
     l_single = loss_on((1, 1))
     l_dp = loss_on((4, 1))
     l_dpsp = loss_on((2, 2))
+    l_tp = loss_on((2, 1, 4))
+    l_dpsptp = loss_on((2, 2, 2))
     assert l_dp == pytest.approx(l_single, rel=2e-4)
     assert l_dpsp == pytest.approx(l_single, rel=2e-4)
+    assert l_tp == pytest.approx(l_single, rel=2e-4)
+    assert l_dpsptp == pytest.approx(l_single, rel=2e-4)
 
 
 def test_pad_batch_to_multiple():
