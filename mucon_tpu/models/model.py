@@ -146,16 +146,22 @@ class MuConModel:
         import jax as _jax
         from mucon_tpu.models.layers import mask_time
         from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
-        from mucon_tpu.ops.wavenet_train_pallas_v3 import wavenet_stack_train_v3
+        from mucon_tpu.ops.wavenet_train_pallas_v3 import (
+            plan_batch_slices,
+            wavenet_stack_train_v3_auto,
+        )
 
         ft = params["ft"]
         feats = batch_arrays["feats"]
         lengths = batch_arrays["num_frames"]
 
-        # same VMEM-residency cap as _encode_pallas (XLA fallback beyond)
+        # VMEM fit via batch slicing (equal-shape sub-batch programs, one
+        # compile); XLA fallback only when even single-video slices
+        # exceed the budget
         B, T = feats.shape[0], feats.shape[1]
         C = int(self.cfg.model.ft.hidden_size)
-        if B * T * C * 4 > 32 * 1024 * 1024:
+        drop = float(self.cfg.model.ft.dropout_rate)
+        if plan_batch_slices(B, T, C, drop > 0.0) is None:
             return None, None
 
         x = self._in_projection(
@@ -174,8 +180,7 @@ class MuConModel:
             for p in self.cfg.model.ft.pooling_layers
             if p < len(self.cfg.model.ft.stages)
         )
-        drop = float(self.cfg.model.ft.dropout_rate)
-        z = wavenet_stack_train_v3(
+        z = wavenet_stack_train_v3_auto(
             x,
             lengths,
             seed,
@@ -188,6 +193,8 @@ class MuConModel:
             _jax.default_backend() == "cpu",
             self._kernel_mm_dtype(),
         )
+        if z is None:
+            return None, None
         return z, lengths >> n_pools
 
     def _in_projection(self, feats, w_in, b_in):
@@ -221,25 +228,28 @@ class MuConModel:
         import jax as _jax
         from mucon_tpu.models.layers import mask_time
         from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
-        from mucon_tpu.ops.wavenet_pallas_v2 import wavenet_stack_pallas_v2
+        from mucon_tpu.ops.wavenet_pallas_v2 import (
+            plan_eval_slices,
+            wavenet_stack_pallas_v2_sliced,
+        )
 
         ft = params["ft"]
         feats = batch_arrays["feats"]
         lengths = batch_arrays["num_frames"]
 
-        # the whole-batch program keeps ~3 [B x T x C] tensors resident in
-        # VMEM; beyond ~32 MB per tensor it cannot fit -> XLA fallback
-        # (e.g. eval at B=64, T=2048)
+        # VMEM fit via batch slicing (sliced == unsliced bitwise; one
+        # compile reused across slices); XLA fallback only when even
+        # single-video slices exceed the program budget
         B, T = feats.shape[0], feats.shape[1]
         C = int(self.cfg.model.ft.hidden_size)
-        if B * T * C * 4 > 32 * 1024 * 1024:
+        if plan_eval_slices(B, T, C) is None:
             return None, None
         x = self._in_projection(
             feats, ft["Conv1x1_0"]["kernel"], ft["Conv1x1_0"]["bias"]
         )
         x = mask_time(x, lengths)
         packed = pack_wavenet_params(ft, len(self.cfg.model.ft.stages))
-        return wavenet_stack_pallas_v2(
+        out = wavenet_stack_pallas_v2_sliced(
             x,
             lengths,
             *packed,
@@ -250,6 +260,9 @@ class MuConModel:
             interpret=_jax.default_backend() == "cpu",
             mm_dtype=self._kernel_mm_dtype(),
         )
+        if out is None:
+            return None, None
+        return out
 
     def loss(
         self,

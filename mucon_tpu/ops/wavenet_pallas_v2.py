@@ -151,3 +151,55 @@ def wavenet_stack_pallas_v2(
         interpret=interpret,
     )(lengths.astype(jnp.int32), x, w3, b3, w1, b1, w_last, b_last)
     return z, lengths >> n_pools
+
+
+# the eval program keeps ~3 whole-slice [Bs, T, C] tensors resident
+# (residual state, shifted conv operand, nonlinearity output); budget
+# leaves headroom under the 100 MB program limit for weights + scratch
+_EVAL_SLICE_BYTES_BUDGET = 80 * 1024 * 1024
+
+
+def plan_eval_slices(B, T, C, budget=_EVAL_SLICE_BYTES_BUDGET):
+    """Smallest number of equal batch slices whose resident bytes fit the
+    eval program's VMEM budget; None if nothing fits (XLA fallback)."""
+    per_video = T * C * 4 * 3
+    for nb in range(1, B + 1):
+        if B % nb == 0 and (B // nb) * per_video <= budget:
+            return nb
+    return None
+
+
+def wavenet_stack_pallas_v2_sliced(
+    x, lengths, w3, b3, w1, b1, w_last, b_last,
+    stages, pooling_layers, pooling_type="max", leaky=False,
+    interpret=False, mm_dtype=None, slice_budget=_EVAL_SLICE_BYTES_BUDGET,
+):
+    """wavenet_stack_pallas_v2 with automatic batch slicing: large-B eval
+    configs (bench B=128) keep the fused kernel instead of falling back
+    to XLA at the old whole-batch 32 MB gate.  Videos are row-independent,
+    so sliced == unsliced bitwise.  Returns None when even single-video
+    slices exceed VMEM."""
+    B, T, C = x.shape
+    nb = plan_eval_slices(B, T, C, budget=slice_budget)
+    if nb is None:
+        return None
+    if nb == 1:
+        return wavenet_stack_pallas_v2(
+            x, lengths, w3, b3, w1, b1, w_last, b_last,
+            stages=stages, pooling_layers=pooling_layers,
+            pooling_type=pooling_type, leaky=leaky, interpret=interpret,
+            mm_dtype=mm_dtype,
+        )
+    bs = B // nb
+    zs, tzs = [], []
+    for i in range(nb):
+        z_i, tz_i = wavenet_stack_pallas_v2(
+            x[i * bs : (i + 1) * bs], lengths[i * bs : (i + 1) * bs],
+            w3, b3, w1, b1, w_last, b_last,
+            stages=stages, pooling_layers=pooling_layers,
+            pooling_type=pooling_type, leaky=leaky, interpret=interpret,
+            mm_dtype=mm_dtype,
+        )
+        zs.append(z_i)
+        tzs.append(tz_i)
+    return jnp.concatenate(zs, axis=0), jnp.concatenate(tzs, axis=0)

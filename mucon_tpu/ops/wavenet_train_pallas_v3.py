@@ -567,3 +567,74 @@ def _bwd_rule_v3(stages, pooling_layers, pooling_type, drop_rate, leaky,
 
 
 wavenet_stack_train_v3.defvjp(_fwd_rule_v3, _bwd_rule_v3)
+
+
+# ---------------------------------------------------------------------------
+# batch slicing: VMEM-fit for large-B configs (timed full-scale run, B=64)
+# ---------------------------------------------------------------------------
+
+# a v3 program keeps up to 5 whole-slice [.., Bs, t, C] blocks resident
+# (fwd: x_in, mask stack, xs stash, hs stash, x_out; sweep: xs, hs, ms,
+# g, g_out) — budget leaves headroom under the 128 MB v5e VMEM for
+# weights, biases and register-spill scratch (a B=64, t=1024 run measured
+# 166.3 MB with 5x32 MB blocks + 6.3 MB spills)
+_SLICE_BYTES_BUDGET = 88 * 1024 * 1024
+
+
+def plan_batch_slices(B, T, C, drop_on, budget=_SLICE_BYTES_BUDGET):
+    """Smallest number of equal batch slices whose per-program resident
+    bytes fit the VMEM budget; None if even single-video slices do not
+    fit (caller falls back to XLA)."""
+    blocks = 5 if drop_on else 4
+    per_video = T * C * 4 * blocks
+    for nb in range(1, B + 1):
+        if B % nb == 0 and (B // nb) * per_video <= budget:
+            return nb
+    return None
+
+
+def wavenet_stack_train_v3_auto(
+    x, lengths, seed, w3, b3, w1, b1, w_last, b_last,
+    stages: tuple, pooling_layers: tuple, pooling_type: str,
+    drop_rate: float, leaky: bool, interpret: bool, mm_dtype=None,
+    slice_budget: int = _SLICE_BYTES_BUDGET,
+):
+    """wavenet_stack_train_v3 with automatic batch slicing.
+
+    Each slice is an independent kernel invocation at the SAME shapes
+    (one compile, nb launches); videos are row-independent through the
+    whole stack, so the no-dropout sliced forward/backward is
+    bit-identical to the unsliced call.  With dropout each slice draws
+    its own threefry stream from a per-slice seed
+    (randint(fold_in(PRNGKey(seed), i))) — reconstructable by tests.
+    Returns None when no slicing fits VMEM (caller falls back to XLA).
+    """
+    B, T, C = x.shape
+    nb = plan_batch_slices(B, T, C, drop_rate > 0.0, budget=slice_budget)
+    if nb is None:
+        return None
+    statics = (
+        tuple(stages), tuple(pooling_layers), pooling_type,
+        drop_rate, leaky, interpret, mm_dtype,
+    )
+
+    def call(x_s, len_s, seed_s):
+        # positional call: custom_vjp nondiff_argnums resolve by position
+        return wavenet_stack_train_v3(
+            x_s, len_s, seed_s, w3, b3, w1, b1, w_last, b_last, *statics
+        )
+
+    if nb == 1:
+        return call(x, lengths, seed)
+    bs = B // nb
+    key = jax.random.PRNGKey(seed.astype(jnp.uint32))
+    parts = []
+    for i in range(nb):
+        seed_i = jax.random.randint(
+            jax.random.fold_in(key, i), (), 0, 2**31 - 1
+        ).astype(jnp.int32)
+        parts.append(
+            call(x[i * bs : (i + 1) * bs], lengths[i * bs : (i + 1) * bs],
+                 seed_i)
+        )
+    return jnp.concatenate(parts, axis=0)

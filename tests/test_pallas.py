@@ -248,3 +248,40 @@ def test_wavenet_stack_v2_bf16_close_to_f32():
     assert np.array_equal(np.asarray(l32), np.asarray(l16))
     scale = float(jnp.max(jnp.abs(z32))) + 1e-9
     assert float(jnp.max(jnp.abs(z32 - z16))) / scale < 0.02
+
+
+def test_wavenet_stack_v2_sliced_matches_unsliced():
+    """Batch slicing (VMEM fit for large-B eval) is bitwise-transparent:
+    videos are row-independent through the stack."""
+    from mucon_tpu.ops.wavenet_pallas_v2 import (
+        plan_eval_slices,
+        wavenet_stack_pallas_v2,
+        wavenet_stack_pallas_v2_sliced,
+    )
+
+    # real-shape planning: bench eval (B=128, T=2048) slices; the validated
+    # whole-batch shape (B=8, T=2048) stays unsliced; nothing fits -> None
+    assert plan_eval_slices(128, 2048, 128) > 1
+    assert plan_eval_slices(8, 2048, 128) == 1
+    assert plan_eval_slices(4, 2048, 128, budget=1024) is None
+
+    rng = np.random.RandomState(9)
+    B, T, C = 4, 64, 128
+    stages = (1, 2, 4)
+    pools = (0, 1)
+    lengths = jnp.asarray([64, 41, 17, 60], jnp.int32)
+    x = rng.randn(B, T, C).astype(np.float32)
+    x = jnp.asarray(x * (np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None]))
+    pk = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.05) for s in
+          [(3, 3, C, C), (3, C), (3, C, C), (3, C), (C, C), (C,)]]
+
+    z0, l0 = wavenet_stack_pallas_v2(
+        x, lengths, *pk, stages=stages, pooling_layers=pools, interpret=True)
+    # budget forcing 2 slices of 2 videos
+    per_video = T * C * 4 * 3
+    out = wavenet_stack_pallas_v2_sliced(
+        x, lengths, *pk, stages=stages, pooling_layers=pools, interpret=True,
+        slice_budget=2 * per_video)
+    z_s, l_s = out
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l_s))
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z_s))

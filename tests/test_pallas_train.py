@@ -630,3 +630,85 @@ def test_model_dropout_training_uses_v3(tmp_path):
         assert np.all(np.isfinite(np.asarray(leaf)))
     l2 = loss_fn(params, key)
     assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# batch slicing (VMEM fit for large-B train configs; the timed full-scale
+# run at B=64, t=1024 needs 5x32 MB resident blocks = 166 MB unsliced)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_batch_slices():
+    from mucon_tpu.ops.wavenet_train_pallas_v3 import plan_batch_slices
+
+    # the shape that OOMed the timed run must now slice
+    assert plan_batch_slices(64, 1024, 128, True) >= 2
+    # the hw-validated flagship shape stays unsliced (bit-compat)
+    assert plan_batch_slices(8, 2048, 128, True) == 1
+    # nothing fits -> None (caller falls back to XLA)
+    assert plan_batch_slices(4, 2048, 128, True, budget=1024) is None
+
+
+def test_train_kernel_v3_sliced_matches_unsliced(setup):
+    """No dropout: slicing is bitwise-transparent through value AND grads
+    (weight grads from the slices accumulate via autodiff addition)."""
+    from mucon_tpu.ops.wavenet_train_pallas_v3 import (
+        wavenet_stack_train_v3,
+        wavenet_stack_train_v3_auto,
+    )
+
+    block, variables, xs, lengths, x_proj, packed = setup
+    rng = np.random.RandomState(13)
+    g_target = jnp.asarray(rng.randn(B, T >> 2, C).astype(np.float32))
+    seed = jnp.asarray(3, jnp.int32)
+    ln = jnp.asarray(lengths)
+    per_video = T * C * 4 * 4  # no-drop resident blocks
+
+    def l_unsliced(xp, p):
+        z = wavenet_stack_train_v3(
+            xp, ln, seed, *p, STAGES, POOLS, "max", 0.0, False, True, None)
+        return jnp.sum(z * g_target)
+
+    def l_sliced(xp, p):
+        z = wavenet_stack_train_v3_auto(
+            xp, ln, seed, *p, STAGES, POOLS, "max", 0.0, False, True, None,
+            slice_budget=per_video)  # forces B slices of 1
+        return jnp.sum(z * g_target)
+
+    v0, g0 = jax.value_and_grad(l_unsliced, argnums=(0, 1))(x_proj, packed)
+    v1, g1 = jax.value_and_grad(l_sliced, argnums=(0, 1))(x_proj, packed)
+    assert float(v0) == pytest.approx(float(v1), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_train_kernel_v3_sliced_dropout_seed_contract(setup):
+    """With dropout, slice i draws its threefry stream from
+    randint(fold_in(PRNGKey(seed), i)) — pinned so replica tests (and the
+    same-masks XLA oracle pattern) can reconstruct the masks per slice."""
+    from mucon_tpu.ops.wavenet_train_pallas_v3 import (
+        wavenet_stack_train_v3,
+        wavenet_stack_train_v3_auto,
+    )
+
+    block, variables, xs, lengths, x_proj, packed = setup
+    seed = jnp.asarray(21, jnp.int32)
+    ln = jnp.asarray(lengths)
+    drop = 0.25
+    per_video = T * C * 4 * 5
+
+    z_sliced = wavenet_stack_train_v3_auto(
+        x_proj, ln, seed, *packed, STAGES, POOLS, "max", drop, False, True,
+        None, slice_budget=per_video)
+
+    key = jax.random.PRNGKey(np.uint32(21))
+    parts = []
+    for i in range(B):
+        seed_i = jax.random.randint(
+            jax.random.fold_in(key, i), (), 0, 2**31 - 1).astype(jnp.int32)
+        parts.append(wavenet_stack_train_v3(
+            x_proj[i:i + 1], ln[i:i + 1], seed_i, *packed,
+            STAGES, POOLS, "max", drop, False, True, None))
+    z_manual = jnp.concatenate(parts, axis=0)
+    np.testing.assert_array_equal(np.asarray(z_sliced), np.asarray(z_manual))
