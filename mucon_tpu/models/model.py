@@ -156,12 +156,19 @@ class MuConModel:
         lengths = batch_arrays["num_frames"]
 
         # VMEM fit via batch slicing (equal-shape sub-batch programs, one
-        # compile); XLA fallback only when even single-video slices
-        # exceed the budget
+        # compile); XLA fallback when even single-video slices exceed the
+        # budget.  Under "auto", slicing itself routes to XLA: measured on
+        # v5e, the UNSLICED kernel wins at small batch (B=8, T=2048:
+        # 1.93x) but a sliced B=64/t=1024 step ran 13.10 vs XLA's
+        # 12.60 ms — large batches amortize XLA better and slices add
+        # launches.  Explicit use_pallas_train=True keeps the sliced path.
         B, T = feats.shape[0], feats.shape[1]
         C = int(self.cfg.model.ft.hidden_size)
         drop = float(self.cfg.model.ft.dropout_rate)
-        if plan_batch_slices(B, T, C, drop > 0.0) is None:
+        nb = plan_batch_slices(B, T, C, drop > 0.0)
+        if nb is None:
+            return None, None
+        if nb > 1 and self.cfg.tpu.use_pallas_train == "auto":
             return None, None
 
         x = self._in_projection(

@@ -154,9 +154,13 @@ def wavenet_stack_pallas_v2(
 
 
 # the eval program keeps ~3 whole-slice [Bs, T, C] tensors resident
-# (residual state, shifted conv operand, nonlinearity output); budget
-# leaves headroom under the 100 MB program limit for weights + scratch
-_EVAL_SLICE_BYTES_BUDGET = 80 * 1024 * 1024
+# (residual state, shifted conv operand, nonlinearity output).  Budget
+# chosen so the hw-validated whole-batch shape (B=8, T=2048: 25 MB
+# resident, 16k flattened matmul rows, 1.08 ms) stays UNSLICED and
+# larger batches slice down to programs of that same validated
+# magnitude (oversized Mosaic programs have killed the remote compile
+# helper — see wavenet_train_pallas_v3._SLICE_BYTES_BUDGET)
+_EVAL_SLICE_BYTES_BUDGET = 32 * 1024 * 1024
 
 
 def plan_eval_slices(B, T, C, budget=_EVAL_SLICE_BYTES_BUDGET):

@@ -575,10 +575,14 @@ wavenet_stack_train_v3.defvjp(_fwd_rule_v3, _bwd_rule_v3)
 
 # a v3 program keeps up to 5 whole-slice [.., Bs, t, C] blocks resident
 # (fwd: x_in, mask stack, xs stash, hs stash, x_out; sweep: xs, hs, ms,
-# g, g_out) — budget leaves headroom under the 128 MB v5e VMEM for
-# weights, biases and register-spill scratch (a B=64, t=1024 run measured
-# 166.3 MB with 5x32 MB blocks + 6.3 MB spills)
-_SLICE_BYTES_BUDGET = 88 * 1024 * 1024
+# g, g_out) — a B=64, t=1024 run measured 166.3 MB (5x32 MB blocks +
+# 6.3 MB spills) against the 128 MB v5e VMEM.  The budget is set so the
+# hw-validated flagship program (B=8, T=2048: 41.9 MB resident, 16k
+# flattened matmul rows) stays UNSLICED while larger batches slice down
+# to programs of the same magnitude (Bs=16 at t=1024 = the same 16k
+# rows); a Bs=32/t=1024 slice (83.9 MB, 32k rows) killed the remote
+# Mosaic compile helper
+_SLICE_BYTES_BUDGET = 48 * 1024 * 1024
 
 
 def plan_batch_slices(B, T, C, drop_on, budget=_SLICE_BYTES_BUDGET):

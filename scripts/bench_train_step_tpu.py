@@ -25,6 +25,10 @@ SMALL = bool(os.environ.get("BENCH_SMALL"))
 N_STEPS_TIME = 5 if SMALL else 30
 N_STEPS_CURVE = 4 if SMALL else 10
 B, T, D, M = (2, 128, 16, 6) if SMALL else (8, 2048, 2048, 48)
+# shape overrides (e.g. BENCH_B=64 BENCH_T=1024 probes the timed-run
+# bucket that drives the batch-sliced kernel path)
+B = int(os.environ.get("BENCH_B", B))
+T = int(os.environ.get("BENCH_T", T))
 
 
 def build(use_pallas_train: bool, dropout: float, dtype: str = "float32"):
