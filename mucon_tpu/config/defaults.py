@@ -156,6 +156,13 @@ def get_cfg_defaults() -> ConfigNode:
     # features, so padded batches can live in HBM and skip all host->device
     # transfer after the first epoch (freezes batch composition per epoch)
     _C.tpu.cache_batches = False
+    _C.tpu.cache_budget_gb = 0.0  # device-cache byte budget in GiB; 0 =
+    # unlimited. Batches cache first-come-first-served until the budget is
+    # spent, later ones stream each epoch; the trainer fills first and its
+    # evaluators share the same budget (harness/cache.py)
+    _C.tpu.eval_feats_transfer_dtype = "float32"  # eval feature wire format:
+    # "float32" keeps exact metric parity; "float16"/"bfloat16" halve eval
+    # HBM + wire bytes for memory-constrained single-chip runs
     _C.tpu.feats_transfer_dtype = "auto"  # training feature-transfer wire
     # format: "auto" (= compute dtype: bf16 when bf16, else f32) |
     # "float32" | "float16" | "bfloat16". Halving the wire bytes ~2x the

@@ -222,6 +222,24 @@ class PaddedBatchLoader:
             rng.shuffle(batches)
         return batches
 
+    def iter_cached_keys(self):
+        """One epoch's batch plan as (video-name tuple, size) pairs — the
+        device-cache keys — computed WITHOUT touching feature data.
+
+        Cache-replay support (harness/trainer.py): with fixed_batches the
+        batch COMPOSITION is frozen, so once every batch is device-resident
+        an epoch needs only the shuffled batch ORDER; skipping `__iter__`
+        avoids re-reading + pad-collating the full feature set (tens of GB
+        of numpy work per epoch at Breakfast scale) for arrays the device
+        already holds.  Advances the epoch shuffle state exactly like one
+        `__iter__` pass."""
+        assert self.fixed_batches, "cache replay requires fixed_batches"
+        batches = self._batch_indices()
+        self.epoch += 1
+        names = self.dataset.file_names
+        for idxs in batches:
+            yield tuple(names[int(i)] for i in idxs), len(idxs)
+
     def _make_batch(self, idxs: np.ndarray) -> PaddedBatch:
         samples = [self.dataset[int(i)] for i in idxs]
         return collate_padded(samples, self.n_max, self.pad_multiple)

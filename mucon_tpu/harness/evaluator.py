@@ -106,6 +106,9 @@ class MuConEvaluator:
         self.device = device
         self.name = "eval"
         self.checkpointing_folder: Optional[Path] = None
+        # device-cache byte budget: the owning trainer injects its own
+        # (shared) budget; standalone evaluators build one lazily from cfg
+        self.cache_budget = None
 
         self.enable_viterbi = False
         self.viterbi_multi_length = cfg.evaluator.viterbi.multi_length
@@ -235,10 +238,26 @@ class MuConEvaluator:
             self._mesh = mesh_from_config(self.cfg)
         return self._mesh
 
+    def _eval_feats_dtype(self):
+        """tpu.eval_feats_transfer_dtype: eval feature wire format.
+        float32 (default) keeps exact metric parity; float16/bfloat16
+        halve eval HBM + wire bytes (the model upcasts on device)."""
+        t = getattr(self.cfg.tpu, "eval_feats_transfer_dtype", "float32")
+        if t in (None, "float32"):
+            return None
+        if t in ("float16", "bfloat16"):
+            import jax.numpy as jnp
+
+            return jnp.dtype(t)
+        raise ValueError(
+            f"Invalid tpu.eval_feats_transfer_dtype {t!r} "
+            "(use 'float32'|'float16'|'bfloat16')"
+        )
+
     def _make_arrays(self, batch: PaddedBatch) -> dict:
         mesh = self._eval_mesh()
         if mesh is None:
-            return batch_to_arrays(batch)
+            return batch_to_arrays(batch, feats_dtype=self._eval_feats_dtype())
         # eval must score EVERY video, so short batches are padded with
         # dummy videos (loss is never computed here) and their outputs are
         # discarded by the per-video loops, which run over batch.batch_size
@@ -248,7 +267,9 @@ class MuConEvaluator:
             shard_batch_arrays,
         )
 
-        arrays = batch_to_host_arrays(batch)
+        arrays = batch_to_host_arrays(
+            batch, feats_dtype=self._eval_feats_dtype()
+        )
         arrays = pad_batch_to_multiple(arrays, mesh.shape["data"])
         return shard_batch_arrays(self._mesh, arrays)
 
@@ -267,7 +288,16 @@ class MuConEvaluator:
             arrays = self._make_arrays(batch)
             if self._eval_mesh() is None:  # sharded arrays are already placed
                 arrays = {k: jax.device_put(v) for k, v in arrays.items()}
-            self._array_cache[key] = arrays
+            if self.cache_budget is None:
+                from mucon_tpu.harness.cache import CacheBudget
+
+                self.cache_budget = CacheBudget.from_config(self.cfg)
+            from mucon_tpu.harness.cache import arrays_nbytes
+
+            if self.cache_budget.try_reserve(
+                arrays_nbytes(arrays), "eval batch"
+            ):
+                self._array_cache[key] = arrays
         return arrays
 
     # -- fused device path ------------------------------------------------

@@ -54,10 +54,17 @@ def main():
         ("trainer.num_epochs", str(epochs)),
         ("trainer.eval_every", "30"),  # docker/inside.yaml cadence
         ("trainer.save_every", "30"),
-        ("tpu.batch_size", "4" if small else "64"),
+        ("tpu.batch_size", "4" if small else "32"),
         ("tpu.pad_multiple", "64" if small else "512"),
         ("tpu.cache_batches", "True"),
+        # HBM discipline on ONE chip: the f16 train cache alone is ~10.6
+        # GiB (the v5e-8 target shards it 8 ways); budget the cache and
+        # let eval batches stream (harness/cache.py), and halve the eval
+        # wire too — this is a throughput measurement on synthetic data,
+        # metric parity is not at stake
+        ("tpu.cache_budget_gb", "11.0"),
         ("tpu.feats_transfer_dtype", "float16"),
+        ("tpu.eval_feats_transfer_dtype", "float16"),
     ]
     if small:
         overrides += [
