@@ -264,6 +264,7 @@ class SimpleTrainer:
             and len(loader) > 0
             and len(self._batch_cache) >= len(loader)
         ):
+            epoch_before = loader.epoch
             replay = []
             for key, size in loader.iter_cached_keys():
                 arrays = self._batch_cache.get(key)
@@ -273,6 +274,10 @@ class SimpleTrainer:
                 replay.append((ReplayBatch(key, size), arrays))
             if replay is not None:
                 return iter(replay)
+            # iter_cached_keys already advanced the shuffle state; rewind so
+            # the loader fallback replays the SAME epoch order (keeps the
+            # trajectory bit-identical to the no-replay run)
+            loader.epoch = epoch_before
         return self._prefetched(loader)
 
     def figure_scheduler_input(self, eval_results) -> Dict[str, Any]:

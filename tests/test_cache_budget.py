@@ -137,6 +137,45 @@ def test_cache_replay_skips_collate_and_matches_streaming(
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_replay_fallback_rewinds_shuffle_state(tmp_path):
+    """If the cache-key scan aborts mid-epoch (batch composition changed),
+    the loader fallback must replay the SAME epoch order: iter_cached_keys
+    already advanced loader.epoch, so without the rewind the fallback
+    epoch would use epoch+1's shuffle and the trajectory would diverge
+    from a never-replayed run."""
+    import jax
+
+    cfg = _tiny_cfg(tmp_path / "runs_poison", tmp_path / "data")
+    cfg.trainer.num_epochs = 3
+    train_db, model = _build(cfg)
+    trainer = SimpleTrainer(cfg, "poison", train_db, model)
+    # poison the cache before every epoch: count matches, one key misses,
+    # so _epoch_batches enters the replay branch then falls back
+    orig_batches = trainer._epoch_batches
+
+    def poisoned(loader):
+        if trainer._batch_cache:
+            key = next(iter(trainer._batch_cache))
+            arrays = trainer._batch_cache.pop(key)
+            trainer._batch_cache[("__bogus__",) + key] = arrays
+        return orig_batches(loader)
+
+    trainer._epoch_batches = poisoned
+    trainer.train()
+
+    cfg2 = _tiny_cfg(tmp_path / "runs_plain", tmp_path / "data")
+    cfg2.trainer.num_epochs = 3
+    train_db2, model2 = _build(cfg2)
+    trainer2 = SimpleTrainer(cfg2, "plain", train_db2, model2)
+    trainer2._epoch_batches = trainer2._prefetched  # never replay
+    trainer2.train()
+
+    flat_a = jax.tree_util.tree_leaves(trainer.params)
+    flat_b = jax.tree_util.tree_leaves(trainer2.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_evaluator_shares_trainer_budget(tmp_path):
     cfg = _tiny_cfg(tmp_path / "runs", tmp_path / "data")
     cfg.tpu.cache_budget_gb = 1e-6
