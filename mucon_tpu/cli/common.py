@@ -6,12 +6,20 @@ compute image is required, but the flags and composition order match).
 """
 
 import argparse
+import logging
 from typing import List, Tuple
 
 from mucon_tpu.config import ConfigNode, get_cfg_defaults, update_config
 
 
 def config_arg_parser(description: str) -> argparse.ArgumentParser:
+    # runs record which encoder path (Pallas kernel vs XLA) each trace
+    # actually took — the decision is config- AND shape-dependent
+    logging.getLogger("mucon_tpu").setLevel(logging.INFO)
+    if not logging.getLogger().handlers:
+        logging.basicConfig(
+            level=logging.INFO, format="%(name)s: %(message)s"
+        )
     p = argparse.ArgumentParser(description=description)
     p.add_argument(
         "--cfg",

@@ -9,6 +9,7 @@ functions over explicit parameter pytrees instead of mutable nn.Modules.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional
 
 import jax
@@ -24,6 +25,20 @@ from mucon_tpu.models.mucon import (
     build_model,
 )
 from mucon_tpu.models.outputs import MuConForwardOut, MuConPredictOut
+
+
+logger = logging.getLogger("mucon_tpu.kernel_routing")
+_logged_routes = set()
+
+
+def _log_route(msg: str) -> None:
+    """One-time INFO line per distinct encoder-path decision (runs at
+    trace time, so without dedup every recompile would repeat it).
+    Silent unless the app configures logging; `mucon_tpu.cli` entries
+    enable it at INFO so runs record which path the config actually got."""
+    if msg not in _logged_routes:
+        _logged_routes.add(msg)
+        logger.info(msg)
 
 
 def resolve_pallas_flag(v) -> bool:
@@ -167,9 +182,22 @@ class MuConModel:
         drop = float(self.cfg.model.ft.dropout_rate)
         nb = plan_batch_slices(B, T, C, drop > 0.0)
         if nb is None:
+            _log_route(
+                f"train encoder B={B} T={T}: XLA (single-video slice "
+                "exceeds the kernel VMEM budget)"
+            )
             return None, None
         if nb > 1 and self.cfg.tpu.use_pallas_train == "auto":
+            _log_route(
+                f"train encoder B={B} T={T}: XLA (auto: {nb} batch slices "
+                "needed; sliced kernel launches lose to XLA at this size)"
+            )
             return None, None
+        _log_route(
+            f"train encoder B={B} T={T}: fused Pallas v3 stack "
+            f"({nb} slice(s), dropout={drop}, mm_dtype="
+            f"{self._kernel_mm_dtype() or 'float32'})"
+        )
 
         x = self._in_projection(
             feats, ft["Conv1x1_0"]["kernel"], ft["Conv1x1_0"]["bias"]
@@ -249,8 +277,18 @@ class MuConModel:
         # single-video slices exceed the program budget
         B, T = feats.shape[0], feats.shape[1]
         C = int(self.cfg.model.ft.hidden_size)
-        if plan_eval_slices(B, T, C) is None:
+        n_slices = plan_eval_slices(B, T, C)
+        if n_slices is None:
+            _log_route(
+                f"eval encoder B={B} T={T}: XLA (single-video slice "
+                "exceeds the kernel VMEM budget)"
+            )
             return None, None
+        _log_route(
+            f"eval encoder B={B} T={T}: fused Pallas v2 stack "
+            f"({n_slices} slice(s), mm_dtype="
+            f"{self._kernel_mm_dtype() or 'float32'})"
+        )
         x = self._in_projection(
             feats, ft["Conv1x1_0"]["kernel"], ft["Conv1x1_0"]["bias"]
         )
