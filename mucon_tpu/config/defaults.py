@@ -179,6 +179,14 @@ def get_cfg_defaults() -> ConfigNode:
     # program count. The current v3 trainable stack derives its chunking
     # from equal-T layer groups + the VMEM byte budget; this knob is kept
     # for config compatibility and the v2 parity tests.
+    _C.tpu.kernel_mm_dtype = "auto"  # matmul OPERAND dtype inside the
+    # Pallas stack kernels: "auto" | "float32" | "bfloat16". Measured on
+    # v5e at the flagship shapes (B=8, T=2048, C=128): bf16 operand casts
+    # inside the kernel are a 1.67x REGRESSION (9.89 vs 5.90 ms/step) —
+    # per-matmul activation casts are VPU/VMEM work the tiny C=128 MXU
+    # saving cannot repay. "auto" therefore keeps kernel matmuls f32 even
+    # under tpu.compute_dtype=bfloat16 (the 2048->128 in-projection, a
+    # genuinely MXU-bound matmul, still uses bf16 operands there).
     _C.tpu.use_pallas_loss = False  # fused mucon ("flint", box template)
     # loss kernel: masks built in VMEM, never materialized to HBM
     # (ops/mucon_loss_pallas.py); exact-grad custom VJP

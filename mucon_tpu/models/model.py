@@ -236,7 +236,7 @@ class MuConModel:
         """relu(feats @ W + b), the D->H input conv done by XLA before the
         kernel; under bf16 the [B*T x 2048] matmul (the single biggest in
         the encoder) runs on bf16 MXU operands with f32 accumulation."""
-        mm = self._kernel_mm_dtype()
+        mm = self._in_proj_mm_dtype()
         if mm is not None:
             B, T, D = feats.shape
             y = jnp.dot(
@@ -247,13 +247,29 @@ class MuConModel:
             return jnp.maximum(y + b_in, 0.0)
         return jnp.maximum(feats @ w_in + b_in, 0.0)
 
-    def _kernel_mm_dtype(self):
-        """bf16 MXU operands (f32 accumulation) inside the Pallas kernels
-        when the model computes in bf16 — composes the kernel and dtype
-        speedups (round-2 item: kernels were f32-only)."""
+    def _in_proj_mm_dtype(self):
+        """bf16 MXU operands (f32 accumulation) for the 2048->H input
+        projection when the model computes in bf16: a [B*T x 2048] matmul
+        with K=2048 is genuinely MXU-bound, unlike the C=128 kernel body."""
         if self.cfg.tpu.compute_dtype == "bfloat16":
             return jnp.bfloat16
         return None
+
+    def _kernel_mm_dtype(self):
+        """Matmul operand dtype INSIDE the Pallas stack kernels
+        (tpu.kernel_mm_dtype tri-state). Measured on v5e at flagship
+        shapes (B=8, T=2048, C=128, dropout .25): bf16 operand casts are
+        a 1.67x regression (9.89 vs 5.90 ms/step) — each cast streams the
+        whole [B,t,C] activation block through the VPU while the MXU
+        saving at N=C=128 is negligible. "auto" therefore keeps kernel
+        matmuls f32 even when tpu.compute_dtype=bfloat16; explicit
+        "bfloat16" forces the operand-cast mode for A/B runs."""
+        knob = self.cfg.tpu.kernel_mm_dtype
+        if knob == "bfloat16":
+            return jnp.bfloat16
+        if knob == "float32":
+            return None
+        return None  # "auto": f32 wins at this model's channel width
 
     def _encode_pallas(self, params, batch_arrays):
         """Fused Pallas WaveNet stack (ops/wavenet_pallas_v2.py — whole
