@@ -186,9 +186,10 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
         if not isinstance(value, (list, tuple)):
             raise TypeError(f"Cannot coerce {value!r} to list for key {key}")
         return list(value)
-    if old == "auto" and isinstance(value, bool):
-        # tri-state leaves ("auto" | True | False), e.g. tpu.use_pallas.
-        # Only the "auto" sentinel admits a bool; other string leaves keep
+    if old == "auto" and isinstance(value, (bool, int)):
+        # tri-state/auto leaves ("auto" | literal), e.g. tpu.use_pallas
+        # ("auto"|True|False) and tpu.scan_unroll ("auto"|int). Only the
+        # "auto" sentinel admits a non-string; other string leaves keep
         # the strict type check (e.g. `--set dataset.name True` must fail).
         return value
     if type(old) is not type(value):

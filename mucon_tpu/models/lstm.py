@@ -57,7 +57,7 @@ class LSTMCellParams(nn.Module):
         return xs @ self.w_ih + self.b_ih
 
 
-def _scan_direction(cell: LSTMCellParams, xs, mask):
+def _scan_direction(cell: LSTMCellParams, xs, mask, unroll: int = 1):
     """Run one direction over [B x T x I] with state-freezing mask [B x T].
 
     Returns (outputs [B x T x H], (h_final, c_final))."""
@@ -77,7 +77,8 @@ def _scan_direction(cell: LSTMCellParams, xs, mask):
 
     init = (jnp.zeros((B, H), xs.dtype), jnp.zeros((B, H), xs.dtype))
     (h, c), outs = jax.lax.scan(
-        step, init, (x_proj.swapaxes(0, 1), mask.swapaxes(0, 1))
+        step, init, (x_proj.swapaxes(0, 1), mask.swapaxes(0, 1)),
+        unroll=unroll,
     )
     return outs.swapaxes(0, 1), (h, c)
 
@@ -103,6 +104,10 @@ class MaskedBiLSTM(nn.Module):
     input_size: int
     hidden_size: int
     bidirectional: bool = True
+    unroll: int = 1  # lax.scan unroll factor: the [B x H] recurrence
+    # matmuls are far too small to fill the MXU, so the scan is
+    # loop-overhead bound; unrolling amortizes it (measured on v5e —
+    # see docs/ROOFLINE.md step decomposition)
 
     def setup(self):
         self.fwd = LSTMCellParams(self.input_size, self.hidden_size)
@@ -113,7 +118,7 @@ class MaskedBiLSTM(nn.Module):
         B, T, _ = xs.shape
         m = time_mask(T, lengths, xs.dtype)
         if not self.bidirectional:
-            out_f, (h_f, c_f) = _scan_direction(self.fwd, xs, m)
+            out_f, (h_f, c_f) = _scan_direction(self.fwd, xs, m, self.unroll)
             return out_f * m[:, :, None], (h_f, c_f)
 
         # Both directions in ONE scan: the sequential chain is the latency
@@ -146,7 +151,8 @@ class MaskedBiLSTM(nn.Module):
             jnp.zeros((2, B, H), xs.dtype),
         )
         (hc, cc), outs = jax.lax.scan(
-            step, init, (jnp.moveaxis(xp, 2, 0), m.swapaxes(0, 1))
+            step, init, (jnp.moveaxis(xp, 2, 0), m.swapaxes(0, 1)),
+            unroll=self.unroll,
         )
         # outs: [T x 2 x B x H]
         out_f = outs[:, 0].swapaxes(0, 1)

@@ -186,6 +186,11 @@ class MuConNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat_encoder: bool = False  # jax.checkpoint the conv stack (trade
     # recompute for activation memory on very long videos)
+    scan_unroll: int = 1  # unroll factor for the sequential scans (BiLSTM
+    # encoder over Tz, teacher-forced decoder over S): both are
+    # loop-overhead bound on TPU (tiny [B x H] recurrence matmuls), so
+    # unrolling amortizes per-step loop cost; semantics are unchanged
+    # (same per-step math in the same order)
 
     @nn.compact
     def __call__(
@@ -257,6 +262,7 @@ class MuConNet(nn.Module):
             input_size=self.ft_hidden,
             hidden_size=H,
             bidirectional=self.enc_bidirectional,
+            unroll=self.scan_unroll,
             name="fs_encoder_lstm",
         )(z, tz_len)
         enc_dim = 2 * H if self.enc_bidirectional else H
@@ -331,6 +337,7 @@ class MuConNet(nn.Module):
                 split_rngs={"params": False, "dropout": True},
                 in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
                 out_axes=0,
+                unroll=self.scan_unroll,
             )(**cell_kwargs)
             tokens_tf = jnp.swapaxes(tf_input[:, :S], 0, 1)  # [S x B]
             _, (logprobs, lengths, tokens) = scan_cell(
@@ -367,6 +374,17 @@ class MuConNet(nn.Module):
         )
 
 
+def resolve_scan_unroll(v) -> int:
+    """"auto" -> 8 on accelerator backends (interleaved A/B win on v5e,
+    scripts/probe_unroll_ab_tpu.py), 1 on CPU (unrolling only inflates
+    compile time there); an int forces that factor."""
+    if isinstance(v, str):
+        if v == "auto":
+            return 8 if jax.default_backend() != "cpu" else 1
+        raise ValueError(f"Invalid scan_unroll {v!r} (use 'auto' or an int)")
+    return max(1, int(v))
+
+
 def build_model(cfg, num_classes: int, max_decoding_steps: int, input_feature_size: int):
     """Factory mirroring `create_model` (models.py:30-46)."""
     if cfg.model.name != "mucon":
@@ -396,4 +414,5 @@ def build_model(cfg, num_classes: int, max_decoding_steps: int, input_feature_si
         early_exit_decode=cfg.tpu.early_exit_decode,
         dtype=dtype,
         remat_encoder=cfg.tpu.remat,
+        scan_unroll=resolve_scan_unroll(cfg.tpu.scan_unroll),
     )

@@ -223,6 +223,54 @@ def test_remat_encoder_matches(model_and_batch):
     assert np.isfinite(total) and total > 0
 
 
+def test_scan_unroll_preserves_semantics(model_and_batch):
+    """tpu.scan_unroll only restructures the BiLSTM/decoder scan loops:
+    outputs and grads match to float-reassociation noise (~1e-7 — XLA
+    fuses the unrolled bodies differently) for any unroll factor (the
+    TPU 'auto' default is 8)."""
+    cfg, model, params, batch, _ = model_and_batch
+    arrays = batch_to_arrays(batch)
+    f1 = model.forward(params, arrays, train=False, teacher_forcing=True)
+
+    def grads(m):
+        def loss_fn(p):
+            fwd = m.forward(p, arrays, rng=jax.random.PRNGKey(3), train=True,
+                            teacher_forcing=True)
+            return m.loss(fwd, arrays, teacher_forcing=True).main
+        return jax.grad(loss_fn)(params)
+
+    g1 = grads(model)
+    for unroll in (4, 8):
+        cfg2 = cfg.clone()
+        cfg2.tpu.scan_unroll = unroll
+        model2 = create_model(cfg2, num_classes=M, max_decoding_steps=NMAX + 1,
+                              input_feature_size=D)
+        f2 = model2.forward(params, arrays, train=False, teacher_forcing=True)
+        np.testing.assert_allclose(
+            np.asarray(f2.transcript), np.asarray(f1.transcript),
+            rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(f2.segmentation), np.asarray(f1.segmentation),
+            rtol=1e-6, atol=1e-6,
+        )
+        g2 = grads(model2)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+
+def test_scan_unroll_auto_resolution():
+    from mucon_tpu.models.mucon import resolve_scan_unroll
+
+    assert resolve_scan_unroll("auto") == 1  # tests force CPU backend
+    assert resolve_scan_unroll(4) == 4
+    assert resolve_scan_unroll(0) == 1
+    with pytest.raises(ValueError):
+        resolve_scan_unroll("fast")
+
+
 @pytest.mark.parametrize("ft_type,expect_pool", [("mstcnpp", 4), ("noft", 1)])
 def test_alternate_ft_types_forward_and_loss(model_and_batch, ft_type, expect_pool):
     cfg, _, _, batch, _ = model_and_batch
