@@ -3,8 +3,17 @@
 scripts/profile_step_components_tpu.py puts it at 0.32-0.40 ms of a
 3.6 ms on-device step (B=8, T=2048 flagship).  The update chain walks
 ~100 param leaves (clip norms, weight decay, SGD momentum, apply), so the
-hypothesis is per-leaf kernel overhead inside the program, fixable by
+hypothesis was per-leaf kernel overhead inside the program, fixable by
 running the chain over ONE flattened vector (optax.flatten-style).
+
+RESULT (v5e, 2026-08-18): hypothesis REFUTED.  The tree-path update runs
+in 0.0138 ms/iter standalone — XLA fully fuses the 85-leaf chain — while
+the flattened arms are 20-36x SLOWER (0.28 / 0.49 ms: the ravel
+concatenates and full-vector passes cost real HBM traffic).  The 0.3-0.4
+ms attributed to "clip+optimizer" by the subtractive step decomposition
+is therefore mis-attribution (full_step-vs-full_grad program-level
+differences: donation/carry layout, not optimizer compute).  The tree
+optimizer stays; do not revisit.
 
 Arms (each a K-chained jit, best-of-3, matching the step profiler):
   tree      : current create_optimizer chain + optax.apply_updates
