@@ -8,6 +8,10 @@ per-video breakdown from the evaluator pickles.
 
 Usage:
     python -m mucon_tpu.cli.inspect_run <root>/<exp>/<run> [--videos]
+    python -m mucon_tpu.cli.inspect_run <root>/<exp>/<run> --html [out.html]
+
+``--html`` renders the visual report (loss/metric SVG charts + per-video
+segmentation timelines) via mucon_tpu.harness.report.
 """
 
 import argparse
@@ -104,7 +108,19 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("run_folder", help="<trainer.root>/<exp_name>/<run_number>")
     p.add_argument("--videos", action="store_true", help="per-video breakdown")
+    p.add_argument(
+        "--html", nargs="?", const="", metavar="OUT",
+        help="write the HTML visual report (default <run>/report.html)",
+    )
     args = p.parse_args(argv)
+    if args.html is not None:
+        from mucon_tpu.harness.report import write_report
+
+        out = write_report(
+            Path(args.run_folder), Path(args.html) if args.html else None
+        )
+        print(f"report written: {out}")
+        return
     inspect_run(Path(args.run_folder), show_videos=args.videos)
 
 
