@@ -22,6 +22,37 @@ import numpy as np
 BASELINE_VIDEOS_PER_SEC = 15.45  # midpoint of the reference's 14.7-16.2 it/s
 
 
+def _compile_retry(fn, *args, tries=3, wait_s=15.0):
+    """Run a (first, compile-triggering) jitted call with retries on
+    TRANSIENT remote-compile failures.  The axon compile service drops
+    connections occasionally ('remote_compile: read body: response body
+    closed before all bytes were read' — observed twice on 2026-08-18);
+    the compile is stateless, so re-dispatching is safe (donation only
+    consumes inputs once execution starts, which a failed compile never
+    reaches)."""
+    import sys
+    import time as _time
+
+    for attempt in range(tries):
+        try:
+            return fn(*args)
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            msg = str(e)
+            transient = (
+                "remote_compile" in msg
+                or "read body" in msg
+                or "DEADLINE_EXCEEDED" in msg
+            )
+            if not transient or attempt + 1 == tries:
+                raise
+            print(
+                f"# transient compile failure (attempt {attempt + 1}/{tries})"
+                f", retrying in {wait_s:.0f}s: {msg.splitlines()[0][:120]}",
+                file=sys.stderr, flush=True,
+            )
+            _time.sleep(wait_s)
+
+
 def _device_init_watchdog(timeout_s: float) -> None:
     """Abort with a diagnosable JSON line if device init hangs (the axon
     tunnel has been observed to accept TCP but never complete the
@@ -123,7 +154,9 @@ def main():
 
     for i in range(steps_warmup):
         key, k = jax.random.split(key)
-        params, opt_state = train_step(params, opt_state, k, arrays)
+        params, opt_state = _compile_retry(
+            train_step, params, opt_state, k, arrays
+        )
     sync(params)
 
     # device-rate measurement: K steps inside ONE jit (a lax.scan), so the
@@ -150,7 +183,9 @@ def main():
 
     # NOTE: timing always ends with a scalar device_get — block_until_ready
     # on donated outputs has proven unreliable over the remote TPU tunnel
-    params, opt_state, loss = train_k_steps(params, opt_state, key, arrays)
+    params, opt_state, loss = _compile_retry(
+        train_k_steps, params, opt_state, key, arrays
+    )
     float(loss)  # compile + sync
     reps_k = 1 if small else 3
     t0 = time.perf_counter()
@@ -223,8 +258,8 @@ def main():
             )
             return params, opt_state, losses[-1]
 
-        params16, opt16, loss16 = train_k_steps16(
-            params16, opt16, key, arrays)
+        params16, opt16, loss16 = _compile_retry(
+            train_k_steps16, params16, opt16, key, arrays)
         float(loss16)
         t0 = time.perf_counter()
         for _ in range(reps_k):
@@ -254,7 +289,7 @@ def main():
                 30,
             )
 
-    eval_once()  # compile
+    _compile_retry(eval_once)  # compile
     reps = 1 if small else 5
     t0 = time.perf_counter()
     for _ in range(reps):
