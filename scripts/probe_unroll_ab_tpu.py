@@ -18,10 +18,12 @@ import jax.numpy as jnp
 import optax
 
 SMALL = bool(os.environ.get("BENCH_SMALL"))
-K = 5 if SMALL else 30
+K = 5 if SMALL else int(os.environ.get("PROBE_K", "30"))
 TRIALS = 5
 UNROLLS = [int(x) for x in os.environ.get("UNROLLS", "1,8").split(",")]
 B, T, D, M = (2, 128, 16, 6) if SMALL else (8, 2048, 2048, 48)
+B = int(os.environ.get("PROBE_B", B))
+T = int(os.environ.get("PROBE_T", T))
 DROP = 0.25
 
 
@@ -70,21 +72,26 @@ def build_step(unroll, batch):
     tx = create_optimizer(cfg, model.param_partition(params))
     opt_state = tx.init(params)
 
-    def loss_main(p, rng):
+    def loss_main(p, arrays, rng):
         fwd = model.forward(p, arrays, rng=rng, train=True,
                             teacher_forcing=True)
         return model.loss(fwd, arrays, teacher_forcing=True).main
 
+    # arrays passed as an ARGUMENT (closing over them embeds the 2 GB
+    # feature batch as a captured compile-time constant at B=128)
     @jax.jit
-    def step_k(p, o, key):
+    def step_k_a(p, o, key, arrays):
         def body(carry, k):
             p, o = carry
-            g = jax.grad(loss_main)(p, jax.random.fold_in(key, k))
+            g = jax.grad(loss_main)(p, arrays, jax.random.fold_in(key, k))
             updates, o = tx.update(g, o, p)
             p = optax.apply_updates(p, updates)
             return (p, o), None
         (p, o), _ = jax.lax.scan(body, (p, o), jnp.arange(K))
         return p, o
+
+    def step_k(p, o, key):
+        return step_k_a(p, o, key, arrays)
 
     return step_k, params, opt_state
 

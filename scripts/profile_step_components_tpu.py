@@ -106,7 +106,9 @@ def main():
     tx = create_optimizer(cfg, model.param_partition(params))
     opt_state = tx.init(params)
 
-    def enc_z(p, rng):
+    # NOTE: arrays are passed as jit ARGUMENTS — closing over them embeds
+    # the feature batch as a captured compile-time constant.
+    def enc_z(p, arrays, rng):
         if USE_PALLAS:
             z, tz = model._encode_pallas_train(p, arrays, rng)
             assert z is not None, "kernel path did not engage"
@@ -116,9 +118,9 @@ def main():
         return fwd.segmentation  # no encoder-only surface on XLA path
 
     @jax.jit
-    def enc_fwd_k(p, key):
+    def enc_fwd_k(p, key, arrays):
         def body(c, k):
-            z = enc_z(p, jax.random.fold_in(key, k))
+            z = enc_z(p, arrays, jax.random.fold_in(key, k))
             return c + z.sum(), None
         return jax.lax.scan(body, 0.0, jnp.arange(K))[0]
 
@@ -127,37 +129,37 @@ def main():
         return sum(x.sum() for x in jax.tree_util.tree_leaves(g))
 
     @jax.jit
-    def enc_grad_k(p, key):
+    def enc_grad_k(p, key, arrays):
         def body(c, k):
             g = jax.grad(
-                lambda q: enc_z(q, jax.random.fold_in(key, k)).sum()
+                lambda q: enc_z(q, arrays, jax.random.fold_in(key, k)).sum()
             )(p)
             return c + tree_sum(g), None
         return jax.lax.scan(body, 0.0, jnp.arange(K))[0]
 
-    def loss_main(p, rng):
+    def loss_main(p, arrays, rng):
         fwd = model.forward(p, arrays, rng=rng, train=True,
                             teacher_forcing=True)
         return model.loss(fwd, arrays, teacher_forcing=True).main
 
     @jax.jit
-    def full_fwd_k(p, key):
+    def full_fwd_k(p, key, arrays):
         def body(c, k):
-            return c + loss_main(p, jax.random.fold_in(key, k)), None
+            return c + loss_main(p, arrays, jax.random.fold_in(key, k)), None
         return jax.lax.scan(body, 0.0, jnp.arange(K))[0]
 
     @jax.jit
-    def full_grad_k(p, key):
+    def full_grad_k(p, key, arrays):
         def body(c, k):
-            g = jax.grad(loss_main)(p, jax.random.fold_in(key, k))
+            g = jax.grad(loss_main)(p, arrays, jax.random.fold_in(key, k))
             return c + tree_sum(g), None
         return jax.lax.scan(body, 0.0, jnp.arange(K))[0]
 
     @jax.jit
-    def full_step_k(p, o, key):
+    def full_step_k(p, o, key, arrays):
         def body(carry, k):
             p, o = carry
-            g = jax.grad(loss_main)(p, jax.random.fold_in(key, k))
+            g = jax.grad(loss_main)(p, arrays, jax.random.fold_in(key, k))
             updates, o = tx.update(g, o, p)
             p = optax.apply_updates(p, updates)
             return (p, o), None
@@ -165,11 +167,11 @@ def main():
         return p, o
 
     key = jax.random.PRNGKey(7)
-    t_ef = timed("enc_fwd", enc_fwd_k, params, key)
-    t_eg = timed("enc_grad", enc_grad_k, params, key)
-    t_ff = timed("full_fwd", full_fwd_k, params, key)
-    t_fg = timed("full_grad", full_grad_k, params, key)
-    t_fs = timed("full_step", full_step_k, params, opt_state, key)
+    t_ef = timed("enc_fwd", enc_fwd_k, params, key, arrays)
+    t_eg = timed("enc_grad", enc_grad_k, params, key, arrays)
+    t_ff = timed("full_fwd", full_fwd_k, params, key, arrays)
+    t_fg = timed("full_grad", full_grad_k, params, key, arrays)
+    t_fs = timed("full_step", full_step_k, params, opt_state, key, arrays)
 
     dec_fwd = t_ff - t_ef
     tail_bwd = t_fg - t_eg - dec_fwd
