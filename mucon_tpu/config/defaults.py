@@ -200,12 +200,13 @@ def get_cfg_defaults() -> ConfigNode:
     _C.tpu.scan_unroll = "auto"  # lax.scan/nn.scan unroll factor for the
     # sequential scans (BiLSTM encoder over Tz=T/16 steps, teacher-forced
     # decoder over S steps). They carry tiny [B x H] recurrences that
-    # cannot fill the MXU, so their wall time is loop overhead; unrolling
-    # trades compile time for fewer loop iterations. Semantics unchanged
-    # (same per-step math in the same order; loss bit-identical, tested).
-    # "auto" = 8 on accelerator backends (interleaved A/B on v5e: full
-    # flagship step 4.06 vs 4.44 ms/iter, scripts/probe_unroll_ab_tpu.py),
-    # 1 on CPU; an int forces that factor.
+    # cannot fill the MXU, so at small batch their wall time is loop
+    # overhead; unrolling trades compile time for fewer loop iterations.
+    # Semantics unchanged (same per-step math in the same order; tested).
+    # "auto" resolves PER TRACE: 8 when B <= 16 on accelerator backends
+    # (measured crossover on v5e — B=8 step 3.42 vs 3.72 ms, B=16 tie,
+    # B>=32 slightly negative; scripts/probe_unroll_ab_tpu.py), else 1;
+    # always 1 on CPU. An int forces that factor.
     _C.tpu.remat = False  # jax.checkpoint the encoder stack
     _C.tpu.early_exit_decode = True  # free-decode eval stops once every
     # video emitted EOS (output-equivalent to the full-S scan)

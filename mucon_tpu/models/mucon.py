@@ -186,11 +186,14 @@ class MuConNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat_encoder: bool = False  # jax.checkpoint the conv stack (trade
     # recompute for activation memory on very long videos)
-    scan_unroll: int = 1  # unroll factor for the sequential scans (BiLSTM
-    # encoder over Tz, teacher-forced decoder over S): both are
-    # loop-overhead bound on TPU (tiny [B x H] recurrence matmuls), so
-    # unrolling amortizes per-step loop cost; semantics are unchanged
-    # (same per-step math in the same order)
+    scan_unroll: object = 1  # unroll factor for the sequential scans
+    # (BiLSTM encoder over Tz, teacher-forced decoder over S): both are
+    # loop-overhead bound on TPU at small batch (tiny [B x H] recurrence
+    # matmuls), so unrolling amortizes per-step loop cost; semantics are
+    # unchanged (same per-step math in the same order). An int forces the
+    # factor; "auto" resolves PER TRACE from the batch size (see
+    # resolve_scan_unroll — unroll only wins while the per-step work is
+    # too small to hide the loop overhead).
 
     @nn.compact
     def __call__(
@@ -208,6 +211,7 @@ class MuConNet(nn.Module):
         S = self.max_decoding_steps
         M = self.num_classes
         H = self.enc_hidden
+        scan_unroll = resolve_scan_unroll(self.scan_unroll, batch_size=B)
 
         # ---- temporal modeling (models.py:746-773) ----
         if self.ft_type == "wavenet":
@@ -262,7 +266,7 @@ class MuConNet(nn.Module):
             input_size=self.ft_hidden,
             hidden_size=H,
             bidirectional=self.enc_bidirectional,
-            unroll=self.scan_unroll,
+            unroll=scan_unroll,
             name="fs_encoder_lstm",
         )(z, tz_len)
         enc_dim = 2 * H if self.enc_bidirectional else H
@@ -337,7 +341,7 @@ class MuConNet(nn.Module):
                 split_rngs={"params": False, "dropout": True},
                 in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
                 out_axes=0,
-                unroll=self.scan_unroll,
+                unroll=scan_unroll,
             )(**cell_kwargs)
             tokens_tf = jnp.swapaxes(tf_input[:, :S], 0, 1)  # [S x B]
             _, (logprobs, lengths, tokens) = scan_cell(
@@ -374,14 +378,36 @@ class MuConNet(nn.Module):
         )
 
 
-def resolve_scan_unroll(v) -> int:
-    """"auto" -> 8 on accelerator backends (interleaved A/B win on v5e,
-    scripts/probe_unroll_ab_tpu.py), 1 on CPU (unrolling only inflates
-    compile time there); an int forces that factor."""
+def resolve_scan_unroll(v, batch_size=None) -> int:
+    """"auto" -> per-trace policy measured on v5e (interleaved A/Bs with
+    scalar-readback sync, scripts/probe_unroll_ab_tpu.py, full train step
+    at T=2048, dropout .25): unroll 8 wins where the scans' per-step
+    [B x H] work cannot hide the loop overhead — B=8: 3.42 vs 3.72 ms
+    (all 5 trials); B=16: tie (6.70 vs 6.76); B=32: loses (11.82 vs
+    11.11); B=128: loses (51.6 vs 51.0).  So "auto" unrolls only for
+    B <= 16.  1 on CPU (unrolling only inflates compile time there).
+    An int forces the factor everywhere."""
     if isinstance(v, str):
-        if v == "auto":
-            return 8 if jax.default_backend() != "cpu" else 1
-        raise ValueError(f"Invalid scan_unroll {v!r} (use 'auto' or an int)")
+        if v != "auto":
+            raise ValueError(
+                f"Invalid scan_unroll {v!r} (use 'auto' or an int)")
+        if jax.default_backend() == "cpu":
+            return 1
+        if batch_size is None or batch_size <= _AUTO_UNROLL_MAX_B:
+            return 8
+        return 1
+    return max(1, int(v))
+
+
+_AUTO_UNROLL_MAX_B = 16  # crossover measured on v5e (see docstring)
+
+
+def _validate_scan_unroll(v):
+    """Pass "auto" through raw (resolved per trace); validate/clamp ints."""
+    if isinstance(v, str):
+        if v != "auto":
+            raise ValueError(f"Invalid scan_unroll {v!r} (use 'auto' or an int)")
+        return v
     return max(1, int(v))
 
 
@@ -414,5 +440,5 @@ def build_model(cfg, num_classes: int, max_decoding_steps: int, input_feature_si
         early_exit_decode=cfg.tpu.early_exit_decode,
         dtype=dtype,
         remat_encoder=cfg.tpu.remat,
-        scan_unroll=resolve_scan_unroll(cfg.tpu.scan_unroll),
+        scan_unroll=_validate_scan_unroll(cfg.tpu.scan_unroll),
     )

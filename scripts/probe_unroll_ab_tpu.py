@@ -78,7 +78,11 @@ def build_step(unroll, batch):
         return model.loss(fwd, arrays, teacher_forcing=True).main
 
     # arrays passed as an ARGUMENT (closing over them embeds the 2 GB
-    # feature batch as a captured compile-time constant at B=128)
+    # feature batch as a captured compile-time constant at B=128).
+    # A checksum scalar is returned for timing: sync MUST be a scalar
+    # READBACK — block_until_ready on the output tree returns early over
+    # the axon tunnel (it clocked a B=128 full step at 0.14 ms/iter,
+    # i.e. dispatch only).
     @jax.jit
     def step_k_a(p, o, key, arrays):
         def body(carry, k):
@@ -88,10 +92,12 @@ def build_step(unroll, batch):
             p = optax.apply_updates(p, updates)
             return (p, o), None
         (p, o), _ = jax.lax.scan(body, (p, o), jnp.arange(K))
-        return p, o
+        return p, o, jax.tree.leaves(p)[0].sum()
 
     def step_k(p, o, key):
-        return step_k_a(p, o, key, arrays)
+        p, o, chk = step_k_a(p, o, key, arrays)
+        float(chk)  # scalar readback = real completion
+        return p, o
 
     return step_k, params, opt_state
 
@@ -103,8 +109,7 @@ def main():
     for u in UNROLLS:
         t0 = time.time()
         step_k, params, opt_state = build_step(u, batch)
-        out = jax.block_until_ready(step_k(params, opt_state,
-                                           jax.random.PRNGKey(7)))
+        step_k(params, opt_state, jax.random.PRNGKey(7))
         print(f"u={u}: compiled+warm in {time.time()-t0:.0f}s", flush=True)
         arms[u] = (step_k, params, opt_state)
 
@@ -113,8 +118,7 @@ def main():
         for u in UNROLLS:
             step_k, params, opt_state = arms[u]
             t0 = time.time()
-            jax.block_until_ready(step_k(params, opt_state,
-                                         jax.random.PRNGKey(7)))
+            step_k(params, opt_state, jax.random.PRNGKey(7))
             ms = (time.time() - t0) / K * 1e3
             best[u] = min(best[u], ms)
             print(f"trial {trial} u={u}: {ms:7.3f} ms/iter", flush=True)

@@ -262,6 +262,9 @@ def test_scan_unroll_preserves_semantics(model_and_batch):
 
 
 def test_scan_unroll_auto_resolution():
+    from unittest import mock
+
+    from mucon_tpu.models import mucon as mucon_mod
     from mucon_tpu.models.mucon import resolve_scan_unroll
 
     assert resolve_scan_unroll("auto") == 1  # tests force CPU backend
@@ -269,6 +272,15 @@ def test_scan_unroll_auto_resolution():
     assert resolve_scan_unroll(0) == 1
     with pytest.raises(ValueError):
         resolve_scan_unroll("fast")
+    # accelerator policy: unroll 8 up to the measured B=16 crossover
+    with mock.patch.object(
+        mucon_mod.jax, "default_backend", return_value="tpu"
+    ):
+        assert resolve_scan_unroll("auto", batch_size=8) == 8
+        assert resolve_scan_unroll("auto", batch_size=16) == 8
+        assert resolve_scan_unroll("auto", batch_size=32) == 1
+        assert resolve_scan_unroll("auto") == 8  # unknown B: small-B default
+        assert resolve_scan_unroll(2, batch_size=128) == 2  # int forces
 
 
 @pytest.mark.parametrize("ft_type,expect_pool", [("mstcnpp", 4), ("noft", 1)])
