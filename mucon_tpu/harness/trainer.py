@@ -301,6 +301,21 @@ class SimpleTrainer:
     def on_finish_batch(self, iter_num: int, batch, loss) -> None:
         pass
 
+    @staticmethod
+    def _loss_scalars(loss) -> dict:
+        """All 0-d fields of a loss dataclass as host floats.
+
+        Fetched with ONE jax.device_get so logging costs a single
+        device->host transfer; per-field float() would pay one full
+        round trip per scalar (~2 ms each over the axon tunnel).
+        """
+        pending = {
+            k: v
+            for k, v in dataclasses.asdict(loss).items()
+            if np.ndim(v) == 0
+        }
+        return {k: float(v) for k, v in jax.device_get(pending).items()}
+
     # -- jitted steps -----------------------------------------------------------
     def _make_step_fn(self, teacher_forcing: bool):
         if self.mesh is not None:
@@ -442,11 +457,7 @@ class SimpleTrainer:
 
             self.timer.tick(batch.batch_size)
             if self.iter_num % 20 == 0:
-                scalars = {
-                    k: float(v)
-                    for k, v in dataclasses.asdict(loss).items()
-                    if np.ndim(v) == 0
-                }
+                scalars = self._loss_scalars(loss)
                 vps = self.timer.items_per_sec
                 if vps:
                     scalars["videos_per_sec"] = vps
@@ -460,11 +471,7 @@ class SimpleTrainer:
 
         # one synchronous epoch summary (cheap: a single device sync)
         if last_loss is not None:
-            scalars = {
-                k: float(v)
-                for k, v in dataclasses.asdict(last_loss).items()
-                if np.ndim(v) == 0
-            }
+            scalars = self._loss_scalars(last_loss)
             scalars["epoch_seconds"] = time.perf_counter() - self._epoch_t0
             self.logger.log("epoch", self.epoch_num, **scalars)
 
