@@ -291,7 +291,7 @@ def main():
     # + dense Viterbi DP in one device call) + host traceback, at the
     # eval-optimal batch size (sliced eval kernel wins at large B)
     from mucon_tpu.ops.eval_fused import build_fused_eval
-    from mucon_tpu.ops.viterbi import _host_traceback
+    from mucon_tpu.ops.viterbi import host_traceback_batched
 
     eval_batch = collate_padded(
         make_samples(EVAL_B, "ev"), n_max=30, pad_multiple=PAD
@@ -301,17 +301,16 @@ def main():
 
     def eval_once():
         out = jax.device_get(fused(params, eval_arrays))
-        for i in range(EVAL_B):
-            n = int(out["n_dec"][i])
-            _host_traceback(
-                int(eval_batch.num_frames[i]),
-                list(out["transcripts"][i, :n]),
-                float(out["vit_score"][i]),
-                int(out["vit_best_l"][i]),
-                out["vit_bps"][i],
-                int(out["vit_k_valid"][i]),
-                30,
-            )
+        host_traceback_batched(
+            eval_batch.num_frames,
+            out["transcripts"],
+            out["n_dec"],
+            out["vit_score"],
+            out["vit_best_l"],
+            out["vit_bps"],
+            out["vit_k_valid"],
+            30,
+        )
 
     _compile_retry(eval_once)  # compile
     reps = 1 if small else 5

@@ -31,7 +31,7 @@ from mucon_tpu.harness.checkpoint import load_checkpoint
 from mucon_tpu.models import create_model
 from mucon_tpu.models.model import batch_to_arrays, resolve_pallas_flag
 from mucon_tpu.ops.eval_fused import build_fused_eval
-from mucon_tpu.ops.viterbi import _host_traceback
+from mucon_tpu.ops.viterbi import host_traceback_batched
 
 
 def predict_videos(model, params, feats_list, names, cfg, db):
@@ -71,19 +71,22 @@ def predict_videos(model, params, feats_list, names, cfg, db):
         import jax
 
         out = jax.device_get(run(params, batch_to_arrays(batch)))
+        nb = len(chunk_names)
+        traced = host_traceback_batched(
+            batch.num_frames[:nb],
+            out["transcripts"][:nb],
+            out["n_dec"][:nb],
+            out["vit_score"][:nb],
+            out["vit_best_l"][:nb],
+            out["vit_bps"][:nb],
+            out["vit_k_valid"][:nb],
+            frame_sampling,
+        )
         for i, name in enumerate(chunk_names):
             t_i = int(batch.num_frames[i])
             n = int(out["n_dec"][i])
             transcript = [int(x) for x in out["transcripts"][i, :n]]
-            res = _host_traceback(
-                t_i,
-                transcript,
-                float(out["vit_score"][i]),
-                int(out["vit_best_l"][i]),
-                out["vit_bps"][i],
-                int(out["vit_k_valid"][i]),
-                frame_sampling,
-            )
+            res = traced[i]
             results.append(
                 dict(
                     name=name,

@@ -44,7 +44,10 @@ from mucon_tpu.metrics import (
     MoFAccuracyMetric,
 )
 from mucon_tpu.models.model import batch_to_arrays, resolve_pallas_flag
-from mucon_tpu.ops.viterbi import _host_traceback, dense_viterbi_decode_batch
+from mucon_tpu.ops.viterbi import (
+    dense_viterbi_decode_batch,
+    host_traceback_batched,
+)
 from mucon_tpu.utils import make_same_size_interpolate
 
 
@@ -328,24 +331,28 @@ class MuConEvaluator:
         eval_fused.py): tracebacks and numpy metric updates only."""
         B = batch.batch_size
 
-        s_transcripts, s_rel_lengths, vit_labels = [], [], []
+        s_transcripts, s_rel_lengths = [], []
         for i in range(B):
             n = int(out["n_dec"][i])
             s_transcripts.append([int(x) for x in out["transcripts"][i, :n]])
             s_rel_lengths.append(out["rel_lengths"][i, :n])
-            if self.enable_viterbi:
-                res = _host_traceback(
-                    int(batch.num_frames[i]),
-                    list(out["transcripts"][i, :n]),
-                    float(out["vit_score"][i]),
-                    int(out["vit_best_l"][i]),
-                    out["vit_bps"][i],
-                    int(out["vit_k_valid"][i]),
+        if self.enable_viterbi:
+            # slice to the true batch (sharded eval pads with dummy videos)
+            vit_labels = [
+                r.labels
+                for r in host_traceback_batched(
+                    batch.num_frames[:B],
+                    out["transcripts"][:B],
+                    out["n_dec"][:B],
+                    out["vit_score"][:B],
+                    out["vit_best_l"][:B],
+                    out["vit_bps"][:B],
+                    out["vit_k_valid"][:B],
                     self.frame_sampling,
                 )
-                vit_labels.append(res.labels)
-            else:
-                vit_labels.append(None)
+            ]
+        else:
+            vit_labels = [None] * B
 
         # reference predict() semantics for what the transcript metrics see:
         # teacher forcing -> GT + EOS with EOS dropped == GT (same list)

@@ -226,20 +226,9 @@ def dense_viterbi_decode_batch(
         )
     )
 
-    results = []
-    for b in range(B):
-        results.append(
-            _host_traceback(
-                int(t_valid[b]),
-                list(np.asarray(transcripts[b][: int(n_valid[b])])),
-                float(score[b]),
-                int(best_l[b]),
-                bps[b],
-                int(k_valid[b]),
-                S,
-            )
-        )
-    return results
+    return host_traceback_batched(
+        t_valid, transcripts, n_valid, score, best_l, bps, k_valid, S
+    )
 
 
 def _host_traceback(
@@ -290,3 +279,79 @@ def _host_traceback(
         segments[-1].length += remainder
 
     return DenseDecodeResult(score=score, labels=np.array(labels), segments=segments)
+
+
+def host_traceback_batched(
+    t_valid,  # [B] true frame counts
+    transcripts,  # [B x n_max] (padded; only the first n_valid[b] entries used)
+    n_valid,  # [B] true transcript lengths
+    scores,  # [B]
+    best_l,  # [B]
+    bps,  # [B x K-1 x n_max]
+    k_valid,  # [B]
+    S: int,
+) -> List[DenseDecodeResult]:
+    """Vectorized `_host_traceback` over the batch.
+
+    The per-video version walks ~K windows in Python and builds a
+    ~T-long Python list per video (~260k list appends at B=128/T=2048),
+    which dominates end-to-end eval time on the host.  Here the
+    sequential pointer walk runs once over k with [B]-wide numpy ops
+    (the walk is independent across videos) and labels come from one
+    np.repeat per video.  Output is element-exact vs `_host_traceback`
+    (tests/test_viterbi.py pins batched == per-video on random DPs).
+    """
+    t_valid = np.asarray(t_valid, np.int64)
+    transcripts = np.asarray(transcripts, np.int64)
+    n_valid = np.asarray(n_valid, np.int64)
+    scores = np.asarray(scores)
+    bps = np.asarray(bps)
+    k_valid = np.asarray(k_valid, np.int64)
+    B = t_valid.shape[0]
+    K = bps.shape[1] + 1
+    rows = np.arange(B)
+
+    n = n_valid - 1
+    l = np.asarray(best_l, np.int64) + 1
+    pos = np.zeros((B, K), np.int64)
+    for k in range(K - 1, 0, -1):
+        active = k < k_valid
+        pos[:, k] = n
+        stay = l > 1
+        # bps is consulted only on transitions (l == 1); inactive or
+        # staying rows gather a dummy index 0
+        idx = np.where(active & ~stay, n, 0)
+        bp_l = bps[rows, k - 1, idx].astype(np.int64) + 1
+        l_new = np.where(stay, l - 1, bp_l)
+        n_new = np.where(stay, n, n - 1)
+        l = np.where(active, l_new, l)
+        n = np.where(active, n_new, n)
+    pos[:, 0] = np.maximum(n, 0)
+
+    results = []
+    for b in range(B):
+        kv = int(k_valid[b])
+        N = int(n_valid[b])
+        nf = int(t_valid[b])
+        p = pos[b, :kv]
+        wl = transcripts[b, np.clip(p, 0, N - 1)]
+        rem = nf - kv * S
+
+        labels = np.empty(nf, np.int64)
+        labels[:rem] = wl[-1]  # remainder frames lead with the newest label
+        labels[rem:] = np.repeat(wl, S)
+
+        change = np.flatnonzero(np.diff(p)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [kv]))
+        segments = [
+            Segment(int(wl[s]), int((e - s) * S))
+            for s, e in zip(starts, ends)
+        ]
+        segments[-1].length += rem
+        results.append(
+            DenseDecodeResult(
+                score=float(scores[b]), labels=labels, segments=segments
+            )
+        )
+    return results

@@ -97,6 +97,61 @@ def test_remainder_quirk_reproduced():
     ]
 
 
+def test_batched_traceback_matches_per_video():
+    # host_traceback_batched (vectorized walk) must be element-exact vs
+    # the per-video _host_traceback on a heterogeneous padded batch
+    from mucon_tpu.ops.viterbi import (
+        _dense_viterbi_scan_batched,
+        _host_traceback,
+        host_traceback_batched,
+    )
+
+    rng = np.random.RandomState(11)
+    B, M, n_max, t_pad, S = 6, 9, 8, 960, 30
+    feats, t_valid, trs, n_valid, lams = [], [], [], [], []
+    for _ in range(B):
+        T = int(rng.randint(65, 950))  # includes remainder-bearing lengths
+        N = int(rng.randint(1, n_max + 1))
+        lp, tr, lam = _random_problem(rng, T, M, N)
+        feats.append(np.pad(lp, ((0, t_pad - T), (0, 0))))
+        t_valid.append(T)
+        trs.append(tr + [0] * (n_max - N))
+        n_valid.append(N)
+        lams.append(lam)
+    score, best_l, bps, k_valid = (
+        np.asarray(x)
+        for x in _dense_viterbi_scan_batched(
+            np.asarray(feats),
+            np.asarray(t_valid, np.int32),
+            np.asarray(trs, np.int32),
+            np.asarray(n_valid, np.int32),
+            np.asarray(lams, np.float32),
+            frame_sampling=S,
+            max_len=2000,
+            n_max=n_max,
+            l_max=2000 // S,
+        )
+    )
+    batched = host_traceback_batched(
+        t_valid, trs, n_valid, score, best_l, bps, k_valid, S
+    )
+    for b in range(B):
+        ref = _host_traceback(
+            t_valid[b],
+            list(trs[b][: n_valid[b]]),
+            float(score[b]),
+            int(best_l[b]),
+            bps[b],
+            int(k_valid[b]),
+            S,
+        )
+        assert batched[b].score == ref.score
+        assert list(batched[b].labels) == list(ref.labels)
+        assert [(s.label, s.length) for s in batched[b].segments] == [
+            (s.label, s.length) for s in ref.segments
+        ]
+
+
 def test_poisson_table_quirks():
     lam = np.array([30.7, 1.0, 250.0])
     table = poisson_log_table(lam, max_length=300)
