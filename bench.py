@@ -291,23 +291,29 @@ def main():
     # + dense Viterbi DP in one device call) + host traceback, at the
     # eval-optimal batch size (sliced eval kernel wins at large B)
     from mucon_tpu.ops.eval_fused import build_fused_eval
-    from mucon_tpu.ops.viterbi import host_traceback_batched
+    from mucon_tpu.ops.viterbi import positions_to_results
 
     eval_batch = collate_padded(
         make_samples(EVAL_B, "ev"), n_max=30, pad_multiple=PAD
     )
     eval_arrays = batch_to_arrays(eval_batch)
-    fused = build_fused_eval(model, teacher_forcing=False, frame_sampling=30)
+    # match the evaluator's routing: Pallas dense-DP on accelerators
+    # (15% end-to-end win — CLAUDE.md round 1), XLA scan on CPU smoke
+    fused = build_fused_eval(
+        model,
+        teacher_forcing=False,
+        frame_sampling=30,
+        use_pallas_viterbi=jax.default_backend() != "cpu",
+    )
 
     def eval_once():
         out = jax.device_get(fused(params, eval_arrays))
-        host_traceback_batched(
+        positions_to_results(
             eval_batch.num_frames,
             out["transcripts"],
             out["n_dec"],
             out["vit_score"],
-            out["vit_best_l"],
-            out["vit_bps"],
+            out["vit_pos"],
             out["vit_k_valid"],
             30,
         )

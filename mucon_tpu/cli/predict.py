@@ -31,7 +31,7 @@ from mucon_tpu.harness.checkpoint import load_checkpoint
 from mucon_tpu.models import create_model
 from mucon_tpu.models.model import batch_to_arrays, resolve_pallas_flag
 from mucon_tpu.ops.eval_fused import build_fused_eval
-from mucon_tpu.ops.viterbi import host_traceback_batched
+from mucon_tpu.ops.viterbi import positions_to_results
 
 
 def predict_videos(model, params, feats_list, names, cfg, db):
@@ -72,13 +72,12 @@ def predict_videos(model, params, feats_list, names, cfg, db):
 
         out = jax.device_get(run(params, batch_to_arrays(batch)))
         nb = len(chunk_names)
-        traced = host_traceback_batched(
+        traced = positions_to_results(
             batch.num_frames[:nb],
             out["transcripts"][:nb],
             out["n_dec"][:nb],
             out["vit_score"][:nb],
-            out["vit_best_l"][:nb],
-            out["vit_bps"][:nb],
+            out["vit_pos"][:nb],
             out["vit_k_valid"][:nb],
             frame_sampling,
         )

@@ -46,7 +46,7 @@ from mucon_tpu.metrics import (
 from mucon_tpu.models.model import batch_to_arrays, resolve_pallas_flag
 from mucon_tpu.ops.viterbi import (
     dense_viterbi_decode_batch,
-    host_traceback_batched,
+    positions_to_results,
 )
 from mucon_tpu.utils import make_same_size_interpolate
 
@@ -337,16 +337,16 @@ class MuConEvaluator:
             s_transcripts.append([int(x) for x in out["transcripts"][i, :n]])
             s_rel_lengths.append(out["rel_lengths"][i, :n])
         if self.enable_viterbi:
-            # slice to the true batch (sharded eval pads with dummy videos)
+            # slice to the true batch (sharded eval pads with dummy videos);
+            # the pointer walk already ran on device (vit_pos)
             vit_labels = [
                 r.labels
-                for r in host_traceback_batched(
+                for r in positions_to_results(
                     batch.num_frames[:B],
                     out["transcripts"][:B],
                     out["n_dec"][:B],
                     out["vit_score"][:B],
-                    out["vit_best_l"][:B],
-                    out["vit_bps"][:B],
+                    out["vit_pos"][:B],
                     out["vit_k_valid"][:B],
                     self.frame_sampling,
                 )

@@ -11,8 +11,11 @@ for decoding.  This program keeps everything on device in ONE jitted call:
        (reference evaluators.py:152-168, vectorized as a scatter-add)
     -> batched dense Viterbi scan (mucon_tpu/ops/viterbi.py)
 
-Only small tensors reach the host: argmax labels [B x T] (int32), tokens,
-lengths, and the DP backpointers for the O(windows) traceback walk.
+    -> batched backpointer walk (traceback_positions_device)
+
+Only small tensors reach the host: argmax labels [B x T] (int8), tokens,
+lengths, and per-window transcript positions [B x K] — the backpointer
+table itself never leaves the device.
 """
 
 from __future__ import annotations
@@ -104,8 +107,18 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
                 seg_lp, arrays["num_frames"], trs, n_dec, lam
             )
 
+        # on-device pointer walk: ship [B x K] positions (~43 KB at
+        # B=128) instead of the [B x K-1 x n_max] backpointer table
+        # (~1.3 MB) — the largest d2h cost of the eval batch
+        from mucon_tpu.ops.viterbi import traceback_positions_device
+
+        vit_pos = traceback_positions_device(bps, k_valid, n_dec, best_l)
+
+        # int8 labels halve-and-half the y wire (M < 128 always here)
+        y_wire = y_argmax.astype(jnp.int8) if M < 128 else y_argmax
+
         return dict(
-            y_argmax=y_argmax,
+            y_argmax=y_wire,
             tokens=fwd.tokens,
             n_steps=fwd.n_steps,
             rel_lengths=rel,
@@ -113,7 +126,7 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
             transcripts=trs,
             vit_score=score,
             vit_best_l=best_l,
-            vit_bps=bps,
+            vit_pos=vit_pos,
             vit_k_valid=k_valid,
         )
 

@@ -301,13 +301,10 @@ def host_traceback_batched(
     np.repeat per video.  Output is element-exact vs `_host_traceback`
     (tests/test_viterbi.py pins batched == per-video on random DPs).
     """
-    t_valid = np.asarray(t_valid, np.int64)
-    transcripts = np.asarray(transcripts, np.int64)
     n_valid = np.asarray(n_valid, np.int64)
-    scores = np.asarray(scores)
     bps = np.asarray(bps)
     k_valid = np.asarray(k_valid, np.int64)
-    B = t_valid.shape[0]
+    B = n_valid.shape[0]
     K = bps.shape[1] + 1
     rows = np.arange(B)
 
@@ -327,6 +324,75 @@ def host_traceback_batched(
         l = np.where(active, l_new, l)
         n = np.where(active, n_new, n)
     pos[:, 0] = np.maximum(n, 0)
+
+    return positions_to_results(
+        t_valid, transcripts, n_valid, scores, pos, k_valid, S
+    )
+
+
+def traceback_positions_device(bps, k_valid, n_valid, best_l):
+    """On-device batched pointer walk: bps [B x K-1 x n_max] -> window
+    positions [B x K] (int32).
+
+    Same walk as `host_traceback_batched`, run as a lax.scan inside the
+    fused eval program so the full backpointer table never leaves the
+    device — at B=128/T_pad=2560 that is 1.29 MB of d2h per batch (the
+    single largest eval wire cost over the axon tunnel) replaced by a
+    43 KB positions block.  Gathers clamp out-of-range indices (numpy's
+    negative-index wrap is only reachable from UNREACHABLE DP states —
+    same benign class as the documented argmax-tie divergence)."""
+    B, Km1, n_max = bps.shape
+    n0 = jnp.asarray(n_valid, jnp.int32) - 1
+    l0 = jnp.asarray(best_l, jnp.int32) + 1
+    k_valid = jnp.asarray(k_valid, jnp.int32)
+    rows = jnp.arange(B)
+
+    if Km1 == 0:
+        return jnp.maximum(n0, 0)[:, None]
+
+    # iterate newest -> oldest: xs[i] = (window index k, bps row k-1)
+    ks = jnp.arange(Km1, 0, -1, dtype=jnp.int32)
+    bps_rev = jnp.flip(bps, axis=1).transpose(1, 0, 2)  # [K-1 x B x n_max]
+
+    def step(carry, x):
+        n, l = carry
+        k, bp_row = x
+        active = k < k_valid
+        stay = l > 1
+        idx = jnp.clip(jnp.where(active & ~stay, n, 0), 0, n_max - 1)
+        bp_l = bp_row[rows, idx].astype(jnp.int32) + 1
+        l_new = jnp.where(stay, l - 1, bp_l)
+        n_new = jnp.where(stay, n, n - 1)
+        return (
+            jnp.where(active, n_new, n),
+            jnp.where(active, l_new, l),
+        ), n  # emit the position BEFORE the update (newest first)
+
+    (n_f, _), pos_rev = jax.lax.scan(step, (n0, l0), (ks, bps_rev))
+    pos = jnp.concatenate(
+        [jnp.maximum(n_f, 0)[:, None], jnp.flip(pos_rev.T, axis=1)], axis=1
+    )
+    return pos.astype(jnp.int32)
+
+
+def positions_to_results(
+    t_valid,  # [B] true frame counts
+    transcripts,  # [B x n_max]
+    n_valid,  # [B]
+    scores,  # [B]
+    pos,  # [B x K] window positions (host or device walk)
+    k_valid,  # [B]
+    S: int,
+) -> List[DenseDecodeResult]:
+    """Expand window positions into framewise labels + segments
+    (labels/segments half of the traceback; one np.repeat per video)."""
+    t_valid = np.asarray(t_valid, np.int64)
+    transcripts = np.asarray(transcripts, np.int64)
+    n_valid = np.asarray(n_valid, np.int64)
+    scores = np.asarray(scores)
+    pos = np.asarray(pos, np.int64)
+    k_valid = np.asarray(k_valid, np.int64)
+    B = t_valid.shape[0]
 
     results = []
     for b in range(B):

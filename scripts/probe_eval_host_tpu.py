@@ -44,7 +44,7 @@ def main():
     from mucon_tpu.data.utils import create_tf_input, create_tf_target
     from mucon_tpu.models import batch_to_arrays, create_model
     from mucon_tpu.ops.eval_fused import build_fused_eval
-    from mucon_tpu.ops.viterbi import _host_traceback
+    from mucon_tpu.ops.viterbi import positions_to_results
 
     cfg = get_cfg_defaults()
     if SMALL:
@@ -73,7 +73,12 @@ def main():
                          input_feature_size=D)
     params = model.init_params(jax.random.PRNGKey(0), batch)
     fs = 10 if SMALL else 30
-    fused = build_fused_eval(model, teacher_forcing=False, frame_sampling=fs)
+    fused = build_fused_eval(
+        model,
+        teacher_forcing=False,
+        frame_sampling=fs,
+        use_pallas_viterbi=jax.default_backend() != "cpu",
+    )
     arrays = jax.device_put(batch_to_arrays(batch))
 
     out_dev = fused(params, arrays)  # compile
@@ -93,32 +98,18 @@ def main():
     out = jax.device_get(out_dev)
 
     def traceback_all():
-        for i in range(B):
-            n = int(out["n_dec"][i])
-            _host_traceback(
-                int(batch.num_frames[i]),
-                list(out["transcripts"][i, :n]),
-                float(out["vit_score"][i]),
-                int(out["vit_best_l"][i]),
-                out["vit_bps"][i],
-                int(out["vit_k_valid"][i]),
-                fs,
-            )
+        positions_to_results(
+            batch.num_frames, out["transcripts"], out["n_dec"],
+            out["vit_score"], out["vit_pos"], out["vit_k_valid"], fs,
+        )
     t_host = best_of(traceback_all)
 
     def eval_once():
         o = jax.device_get(fused(params, arrays))
-        for i in range(B):
-            n = int(o["n_dec"][i])
-            _host_traceback(
-                int(batch.num_frames[i]),
-                list(o["transcripts"][i, :n]),
-                float(o["vit_score"][i]),
-                int(o["vit_best_l"][i]),
-                o["vit_bps"][i],
-                int(o["vit_k_valid"][i]),
-                fs,
-            )
+        positions_to_results(
+            batch.num_frames, o["transcripts"], o["n_dec"],
+            o["vit_score"], o["vit_pos"], o["vit_k_valid"], fs,
+        )
     t_all = best_of(eval_once)
 
     print(f"device (program, scalar sync): {t_dev:8.2f} ms", flush=True)

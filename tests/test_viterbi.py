@@ -135,6 +135,16 @@ def test_batched_traceback_matches_per_video():
     batched = host_traceback_batched(
         t_valid, trs, n_valid, score, best_l, bps, k_valid, S
     )
+    # the on-device walk (fused-eval path) must agree too
+    from mucon_tpu.ops.viterbi import (
+        positions_to_results,
+        traceback_positions_device,
+    )
+
+    pos_dev = traceback_positions_device(bps, k_valid, n_valid, best_l)
+    deviced = positions_to_results(
+        t_valid, trs, n_valid, score, pos_dev, k_valid, S
+    )
     for b in range(B):
         ref = _host_traceback(
             t_valid[b],
@@ -145,11 +155,12 @@ def test_batched_traceback_matches_per_video():
             int(k_valid[b]),
             S,
         )
-        assert batched[b].score == ref.score
-        assert list(batched[b].labels) == list(ref.labels)
-        assert [(s.label, s.length) for s in batched[b].segments] == [
-            (s.label, s.length) for s in ref.segments
-        ]
+        for got in (batched[b], deviced[b]):
+            assert got.score == ref.score
+            assert list(got.labels) == list(ref.labels)
+            assert [(s.label, s.length) for s in got.segments] == [
+                (s.label, s.length) for s in ref.segments
+            ]
 
 
 def test_poisson_table_quirks():
