@@ -290,7 +290,7 @@ def main():
     # secondary: the fused eval program (free-decode forward + Poisson prep
     # + dense Viterbi DP in one device call) + host traceback, at the
     # eval-optimal batch size (sliced eval kernel wins at large B)
-    from mucon_tpu.ops.eval_fused import build_fused_eval
+    from mucon_tpu.ops.eval_fused import build_fused_eval, unpack_eval_wire
     from mucon_tpu.ops.viterbi import positions_to_results
 
     eval_batch = collate_padded(
@@ -306,8 +306,12 @@ def main():
         use_pallas_viterbi=jax.default_backend() != "cpu",
     )
 
-    def eval_once():
-        out = jax.device_get(fused(params, eval_arrays))
+    def consume(out_dev):
+        out = unpack_eval_wire(
+            jax.device_get(out_dev),
+            n_steps_dim=model.max_decoding_steps,
+            n_max=eval_batch.transcript.shape[1],
+        )
         positions_to_results(
             eval_batch.num_frames,
             out["transcripts"],
@@ -318,12 +322,37 @@ def main():
             30,
         )
 
+    def eval_once():
+        consume(fused(params, eval_arrays))
+
     _compile_retry(eval_once)  # compile
-    reps = 1 if small else 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        eval_once()
-    eval_vps = EVAL_B * reps / (time.perf_counter() - t0)
+
+    # depth-3 async pipeline, mirroring MuConEvaluator.evaluate(): batch
+    # k+2's device program AND the async d2h copy of its outputs are in
+    # flight while the host post-processes batch k — steady-state
+    # per-batch cost is max(device program, host traceback), not the sum
+    # of program + transfer roundtrip + host
+    from collections import deque
+
+    def eval_pipelined(n_batches):
+        pending = deque()
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            out = fused(params, eval_arrays)
+            for leaf in jax.tree.leaves(out):
+                leaf.copy_to_host_async()
+            pending.append(out)
+            if len(pending) > 2:
+                consume(pending.popleft())
+        while pending:
+            consume(pending.popleft())
+        return time.perf_counter() - t0
+
+    reps = 2 if small else 8
+    rounds = 1 if small else 2
+    eval_vps = max(
+        EVAL_B * reps / eval_pipelined(reps) for _ in range(rounds)
+    )
 
     print(
         json.dumps(

@@ -30,7 +30,7 @@ from mucon_tpu.data.utils import create_tf_input, create_tf_target
 from mucon_tpu.harness.checkpoint import load_checkpoint
 from mucon_tpu.models import create_model
 from mucon_tpu.models.model import batch_to_arrays, resolve_pallas_flag
-from mucon_tpu.ops.eval_fused import build_fused_eval
+from mucon_tpu.ops.eval_fused import build_fused_eval, unpack_eval_wire
 from mucon_tpu.ops.viterbi import positions_to_results
 
 
@@ -70,7 +70,11 @@ def predict_videos(model, params, feats_list, names, cfg, db):
         batch = collate_padded(samples, n_max, cfg.tpu.pad_multiple)
         import jax
 
-        out = jax.device_get(run(params, batch_to_arrays(batch)))
+        out = unpack_eval_wire(
+            jax.device_get(run(params, batch_to_arrays(batch))),
+            n_steps_dim=model.max_decoding_steps,
+            n_max=batch.transcript.shape[1],
+        )
         nb = len(chunk_names)
         traced = positions_to_results(
             batch.num_frames[:nb],

@@ -13,9 +13,11 @@ for decoding.  This program keeps everything on device in ONE jitted call:
 
     -> batched backpointer walk (traceback_positions_device)
 
-Only small tensors reach the host: argmax labels [B x T] (int8), tokens,
-lengths, and per-window transcript positions [B x K] — the backpointer
-table itself never leaves the device.
+Only small tensors reach the host, packed as TWO leaves (the axon d2h
+pays a per-array roundtrip): argmax labels [B x T] (int8) plus one f32
+block carrying tokens, lengths, scores and the per-window transcript
+positions [B x K] — the backpointer table itself never leaves the
+device.  `unpack_eval_wire` restores the flat per-key dict exactly.
 """
 
 from __future__ import annotations
@@ -117,8 +119,11 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
         # int8 labels halve-and-half the y wire (M < 128 always here)
         y_wire = y_argmax.astype(jnp.int8) if M < 128 else y_argmax
 
-        return dict(
-            y_argmax=y_wire,
+        # pack everything else into ONE f32 block: the axon-tunnel d2h
+        # pays a per-ARRAY roundtrip, so 10 leaves -> 2 leaves is a
+        # measured ~2 ms/batch win (scripts/probe_eval_async_tpu.py);
+        # f32 is exact for every packed int here (all < 2^24)
+        parts = dict(
             tokens=fwd.tokens,
             n_steps=fwd.n_steps,
             rel_lengths=rel,
@@ -129,5 +134,68 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
             vit_pos=vit_pos,
             vit_k_valid=k_valid,
         )
+        wire = jnp.concatenate(
+            [
+                parts[k].astype(jnp.float32).reshape(B, -1)
+                for k in WIRE_KEYS
+            ],
+            axis=1,
+        )
+        return dict(y_argmax=y_wire, wire=wire)
 
     return run
+
+
+# fixed wire layout: (key, trailing width as a fn of (n_steps_dim, n_max,
+# K)); K (the window count of vit_pos) is derived from the total width
+WIRE_KEYS = (
+    "tokens",
+    "n_steps",
+    "rel_lengths",
+    "n_dec",
+    "transcripts",
+    "vit_score",
+    "vit_best_l",
+    "vit_pos",
+    "vit_k_valid",
+)
+_INT_KEYS = {
+    "tokens", "n_steps", "n_dec", "transcripts", "vit_best_l",
+    "vit_pos", "vit_k_valid",
+}
+
+
+def unpack_eval_wire(out: dict, n_steps_dim: int, n_max: int) -> dict:
+    """Host-side inverse of the wire packing in `build_fused_eval`.
+
+    `out` is the device_get result {y_argmax [B,T], wire [B,W]}; returns
+    the flat per-key dict the consumers index (ints restored exactly —
+    every packed integer is < 2^24).  `n_steps_dim` is the model's
+    max_decoding_steps, `n_max` the transcript pad width."""
+    import numpy as np
+
+    wire = np.asarray(out["wire"])
+    W = wire.shape[1]
+    fixed = {
+        "tokens": n_steps_dim,
+        "n_steps": 1,
+        "rel_lengths": n_steps_dim,
+        "n_dec": 1,
+        "transcripts": n_max,
+        "vit_score": 1,
+        "vit_best_l": 1,
+        "vit_k_valid": 1,
+    }
+    widths = [
+        fixed[k] if k in fixed else W - sum(fixed.values())
+        for k in WIRE_KEYS
+    ]
+    assert all(w >= 1 for w in widths), (W, widths)
+    cols = np.split(wire, np.cumsum(widths)[:-1], axis=1)
+    res = {"y_argmax": np.asarray(out["y_argmax"])}
+    for k, c in zip(WIRE_KEYS, cols):
+        if k in ("n_steps", "n_dec", "vit_score", "vit_best_l",
+                 "vit_k_valid"):
+            c = c[:, 0]
+        res[k] = c.astype(np.int64) if k in _INT_KEYS else c
+    return res

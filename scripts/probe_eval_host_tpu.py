@@ -81,21 +81,26 @@ def main():
     )
     arrays = jax.device_put(batch_to_arrays(batch))
 
+    from mucon_tpu.ops.eval_fused import unpack_eval_wire
+
+    def unpack(o):
+        return unpack_eval_wire(o, n_steps_dim=31, n_max=30)
+
     out_dev = fused(params, arrays)  # compile
-    float(jnp.sum(out_dev["vit_score"]))
+    float(jnp.sum(out_dev["wire"]))
     nbytes = {k: v.size * v.dtype.itemsize for k, v in out_dev.items()}
     print(f"output tree: {sum(nbytes.values())/1e6:.2f} MB "
           f"({ {k: round(v/1e3) for k, v in nbytes.items()} } KB)",
           flush=True)
 
-    t_dev = best_of(lambda: float(jnp.sum(fused(params, arrays)["vit_score"])))
+    t_dev = best_of(lambda: float(jnp.sum(fused(params, arrays)["wire"])))
 
     def d2h():
         jax.block_until_ready(out_dev)  # already done; time transfer only
         jax.device_get(out_dev)
     t_d2h = best_of(d2h)
 
-    out = jax.device_get(out_dev)
+    out = unpack(jax.device_get(out_dev))
 
     def traceback_all():
         positions_to_results(
@@ -105,7 +110,7 @@ def main():
     t_host = best_of(traceback_all)
 
     def eval_once():
-        o = jax.device_get(fused(params, arrays))
+        o = unpack(jax.device_get(fused(params, arrays)))
         positions_to_results(
             batch.num_frames, o["transcripts"], o["n_dec"],
             o["vit_score"], o["vit_pos"], o["vit_k_valid"], fs,

@@ -16,6 +16,8 @@ import numpy as np
 SMALL = bool(os.environ.get("BENCH_SMALL"))
 B = int(sys.argv[1]) if len(sys.argv) > 1 else (4 if SMALL else 128)
 T, D, M = (128, 16, 6) if SMALL else (2048, 2048, 48)
+if len(sys.argv) > 2:  # optional Tpad override (e.g. 2560 = bench shapes)
+    T = int(sys.argv[2])
 K = 3 if SMALL else 10
 
 

@@ -178,11 +178,15 @@ def test_fused_eval_with_pallas_viterbi_matches():
     params = model.init_params(jax.random.PRNGKey(0), batch)
     arrays = batch_to_arrays(batch)
 
+    from mucon_tpu.ops.eval_fused import unpack_eval_wire
+
     f_scan = build_fused_eval(model, False, frame_sampling=10)
     f_pls = build_fused_eval(model, False, frame_sampling=10,
                              use_pallas_viterbi=True)
-    a = jax.device_get(f_scan(params, arrays))
-    b = jax.device_get(f_pls(params, arrays))
+    a = unpack_eval_wire(jax.device_get(f_scan(params, arrays)),
+                         n_steps_dim=NMAX + 1, n_max=NMAX)
+    b = unpack_eval_wire(jax.device_get(f_pls(params, arrays)),
+                         n_steps_dim=NMAX + 1, n_max=NMAX)
     np.testing.assert_allclose(b["vit_score"], a["vit_score"], rtol=1e-5,
                                atol=1e-4)
     np.testing.assert_array_equal(b["vit_best_l"], a["vit_best_l"])
