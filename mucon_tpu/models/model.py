@@ -112,6 +112,24 @@ class MuConModel:
 
         return {k: jax.tree.map(lambda _: label_for(k), v) for k, v in params.items()}
 
+    def kernels_active(self, train: bool) -> bool:
+        """Would `forward()` route to the fused Pallas stacks (before the
+        per-shape VMEM gating)?  The mesh layer uses this to pick shard_map
+        (per-shard kernel invocation over the "data" axis) vs GSPMD (XLA
+        partitioning) — the fused kernels are batch-local single-device
+        programs, so under a data-only mesh each shard can run them on its
+        local batch unchanged."""
+        if self.cfg.model.ft.type != "wavenet":
+            return False
+        if not resolve_pallas_flag(self.cfg.tpu.use_pallas):
+            return False
+        if not train:
+            return True
+        ptrain = self.cfg.tpu.use_pallas_train
+        if ptrain == "auto":
+            ptrain = resolve_pallas_flag("auto")
+        return bool(ptrain)
+
     # -- forward/loss ----------------------------------------------------------
     def forward(
         self,

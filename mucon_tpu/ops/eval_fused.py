@@ -30,15 +30,19 @@ import jax.numpy as jnp
 
 def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
                      max_len: int = 2000, use_pallas_viterbi: bool = False,
-                     use_pallas_forward: bool = True):
+                     use_pallas_forward: bool = True, mesh=None):
     """Returns a jitted fn(params, arrays) -> dict of host-ready outputs.
 
     `use_pallas_forward=False` forces the XLA forward (needed when the
-    inputs are sharded over a mesh — the fused single-device kernels don't
-    partition; GSPMD shards the XLA graph instead)."""
+    inputs are sharded over a seq/model mesh — the fused single-device
+    kernels don't partition; GSPMD shards the XLA graph instead).
+
+    `mesh` (data-only) wraps the WHOLE program in shard_map over the
+    "data" axis: every batch-local stage — fused forward kernels, Viterbi
+    DP, pointer walk, wire packing — runs per shard on its local videos,
+    so the mesh path keeps the benchmarked kernels (VERDICT r2 #1)."""
     S = frame_sampling
 
-    @jax.jit
     def run(params, arrays):
         fwd = model.forward(
             params, arrays, train=False, teacher_forcing=teacher_forcing,
@@ -143,7 +147,29 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
         )
         return dict(y_argmax=y_wire, wire=wire)
 
-    return run
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mucon_tpu.parallel.mesh import batch_specs, mesh_is_data_only
+
+        assert mesh_is_data_only(mesh), dict(mesh.shape)
+        specs = batch_specs()
+        sharded_run = jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P(), {k: specs[k] for k in specs}),
+            out_specs={"y_argmax": P("data"), "wire": P("data")},
+            check_vma=False,  # pallas_call carries no varying-axis rule
+        )
+        return jax.jit(
+            sharded_run,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                {k: NamedSharding(mesh, specs[k]) for k in specs},
+            ),
+        )
+
+    return jax.jit(run)
 
 
 # fixed wire layout: (key, trailing width as a fn of (n_steps_dim, n_max,

@@ -4,6 +4,7 @@ from mucon_tpu.parallel.mesh import (
     make_sharded_forward,
     make_sharded_train_step,
     mesh_from_config,
+    mesh_is_data_only,
     pad_batch_to_multiple,
     param_specs,
     shard_batch_arrays,
@@ -13,6 +14,7 @@ from mucon_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "mesh_from_config",
+    "mesh_is_data_only",
     "batch_specs",
     "shard_batch_arrays",
     "pad_batch_to_multiple",

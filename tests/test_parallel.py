@@ -89,6 +89,109 @@ def test_dp_sp_matches_single_device(setup):
     assert l_dpsptp == pytest.approx(l_single, rel=2e-4)
 
 
+def test_shardmap_kernel_train_matches_single(setup):
+    """VERDICT r2 #1: a data-only mesh must keep the fused Pallas kernels.
+    With use_pallas(_train)=True forced (interpret mode on CPU) the
+    shard_map step must produce the same loss and updated params as the
+    unsharded kernel step (dropout off -> the per-shard rng fold_in is
+    trace-only)."""
+    cfg0, model0, params, batch = setup
+    cfg = cfg0.clone()
+    cfg.tpu.use_pallas = True
+    cfg.tpu.use_pallas_train = True
+    cfg.model.ft.dropout_rate = 0.0
+    cfg.model.ft.last_dropout_rate = 0.0
+    cfg.model.fs.decoder.embedding_dropout = 0.0
+    model = create_model(cfg, num_classes=M, max_decoding_steps=NMAX + 1,
+                         input_feature_size=D)
+    assert model.kernels_active(train=True)
+    arrays = batch_to_arrays(batch)
+    tx = create_optimizer(cfg, model.param_partition(params))
+
+    # unsharded reference step, same kernel path
+    def single_step(p, rng, arr):
+        def loss_fn(q):
+            fwd = model.forward(q, arr, rng=rng, train=True,
+                                teacher_forcing=True)
+            loss = model.loss(fwd, arr, teacher_forcing=True)
+            return loss.main, loss
+
+        grads, loss = jax.grad(loss_fn, has_aux=True)(p)
+        import optax
+
+        updates, _ = tx.update(grads, tx.init(p), p)
+        return optax.apply_updates(p, updates), loss
+
+    p_single, l_single = single_step(
+        jax.tree.map(jnp.array, params), jax.random.PRNGKey(3), arrays
+    )
+
+    mesh = make_mesh(4, 1)
+    step = make_sharded_train_step(model, tx, mesh, teacher_forcing=True)
+    params_in = jax.tree.map(jnp.array, params)
+    opt_state = tx.init(params_in)
+    p_mesh, _, l_mesh = step(
+        params_in, opt_state, jax.random.PRNGKey(3),
+        shard_batch_arrays(mesh, arrays),
+    )
+
+    assert float(l_mesh.main) == pytest.approx(float(l_single.main), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p_mesh), jax.tree.leaves(p_single)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        )
+
+
+def test_shardmap_kernel_eval_matches_single(tmp_path):
+    """Sharded fused eval on a data-only mesh with kernels forced
+    (shard_map + interpret-mode Pallas) == single-device kernel eval."""
+    import dataclasses
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import MuConEvaluator
+
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(tmp_path / "data")
+    cfg.dataset.synthetic.num_videos = 8
+    cfg.dataset.synthetic.num_classes = 6
+    cfg.dataset.synthetic.feat_dim = 16
+    cfg.dataset.synthetic.min_len = 100
+    cfg.dataset.synthetic.max_len = 220
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    cfg.tpu.batch_size = 2
+    cfg.tpu.pad_multiple = 64
+    cfg.tpu.use_pallas = True
+    cfg.evaluator.viterbi.frame_sampling = 10
+
+    test_db = handel_dataset(cfg, train=False)
+    model = create_model(cfg, test_db.get_num_classes(),
+                         test_db.max_transcript_length + 1, test_db.feat_dim)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    results = {}
+    for mode in ("single", "mesh"):
+        c = cfg.clone()
+        c.tpu.mesh.enable = mode == "mesh"
+        c.tpu.mesh.data = 2
+        ev = MuConEvaluator(cfg=c, test_db=test_db, model=model)
+        ev.viterbi_mode(True)
+        assert (ev._eval_mesh() is not None) == (mode == "mesh")
+        results[mode] = dataclasses.asdict(ev.evaluate(params))
+
+    for k, sv in results["single"].items():
+        mv = results["mesh"][k]
+        if isinstance(sv, tuple):
+            for a, b in zip(sv, mv):
+                assert a == pytest.approx(b, abs=1e-4), k
+        else:
+            assert sv == pytest.approx(mv, abs=1e-4), k
+
+
 def test_pad_batch_to_multiple():
     rng = np.random.RandomState(0)
     samples = [make_sample(rng, 48, 3, f"v{i}") for i in range(3)]
