@@ -60,6 +60,22 @@ def _next_run_number(exp_folder: Path) -> int:
     return max(runs) + 1 if runs else 0
 
 
+def _recommit_like(template, host_tree):
+    """device_put every restored (host) leaf to the mesh layout of the
+    live leaf it replaces — the checkpoint round-trip for mesh-sharded
+    state.  Only NamedSharding (mesh-committed) leaves are re-committed:
+    single-device leaves (e.g. the optax step count, created uncommitted
+    by tx.init) stay host-side so jit remains free to place them."""
+    from jax.sharding import NamedSharding
+
+    def put(t, h):
+        if isinstance(t, jax.Array) and isinstance(t.sharding, NamedSharding):
+            return jax.device_put(h, t.sharding)
+        return h
+
+    return jax.tree.map(put, template, host_tree)
+
+
 class SimpleTrainer:
     eval_metric_name_format = "eval_metric_{}"
 
@@ -559,6 +575,15 @@ class SimpleTrainer:
         params, opt_state, state = load_checkpoint(
             folder, self.params, self.opt_state
         )
+        if self.mesh is not None:
+            # from_bytes returns HOST arrays; re-commit every leaf to the
+            # sharding layout of the live template it replaces (the TP
+            # "model"-axis conv channels and the opt state that inherited
+            # them) — otherwise the first post-restore step would let jit
+            # pick a fresh (replicated) layout and silently recompile
+            params = _recommit_like(self.params, params)
+            if opt_state is not None:
+                opt_state = _recommit_like(self.opt_state, opt_state)
         self.params = params
         if opt_state is not None:
             self.opt_state = opt_state

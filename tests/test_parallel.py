@@ -401,6 +401,76 @@ def test_trainer_mesh_grad_accumulation(tmp_path):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
 
 
+def test_tp_checkpoint_roundtrip(tmp_path):
+    """VERDICT r2 #7: save under a 2x2x2 mesh with model-sharded ft params
+    + optimizer state, restore onto a fresh trainer, and check (a) the
+    restored leaves carry the SAME mesh layout as before (not a silently
+    re-picked replicated one), (b) bit-equality with what was saved, and
+    (c) one more step runs on the restored state."""
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import SimpleTrainer
+
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(tmp_path / "data")
+    cfg.dataset.synthetic.num_videos = 8
+    cfg.dataset.synthetic.num_classes = 6
+    cfg.dataset.synthetic.feat_dim = 16
+    cfg.dataset.synthetic.min_len = 100
+    cfg.dataset.synthetic.max_len = 260
+    cfg.trainer.root = str(tmp_path / "runs")
+    cfg.trainer.num_epochs = 1
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    cfg.tpu.batch_size = 2
+    cfg.tpu.pad_multiple = 64
+    cfg.tpu.mesh.enable = True
+    cfg.tpu.mesh.data = 2
+    cfg.tpu.mesh.seq = 2
+    cfg.tpu.mesh.model = 2
+
+    train_db = handel_dataset(cfg, train=True)
+    model = create_model(cfg, train_db.get_num_classes(),
+                         train_db.max_transcript_length + 1, train_db.feat_dim)
+
+    t1 = SimpleTrainer(cfg, "tp_ckpt", train_db, model)
+    assert t1.mesh is not None and t1.mesh.shape["model"] == 2
+    t1.train()
+    t1.save_training()
+    t1.wait_for_save()
+    run, epoch = t1.latest_checkpoint()
+    saved = jax.tree.map(np.asarray, jax.device_get(t1.params))
+    saved_opt = jax.tree.map(np.asarray, jax.device_get(t1.opt_state))
+
+    def model_axis_sharded(tree):
+        leaves = [
+            l for l in jax.tree.leaves(tree["ft"])
+            if isinstance(l, jax.Array) and l.ndim >= 1
+        ]
+        assert leaves
+        for l in leaves:
+            assert "model" in tuple(l.sharding.spec), l.sharding
+
+    model_axis_sharded(t1.params)
+
+    t2 = SimpleTrainer(cfg, "tp_ckpt", train_db, model)
+    t2.load_training(run, epoch)
+
+    # (a) layouts re-committed, not replicated
+    model_axis_sharded(t2.params)
+    # (b) bit-equal round trip (params AND optimizer state)
+    for a, b in zip(jax.tree.leaves(t2.params), jax.tree.leaves(saved)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    for a, b in zip(jax.tree.leaves(t2.opt_state), jax.tree.leaves(saved_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # (c) the restored state trains one more epoch
+    t2._train_one_epoch()
+
+
 def test_full_depth_seq_parallel_matches_single():
     """Full-DEPTH stack (all 11 dilations 1..1024 with the 16x pooling
     ladder) under seq sharding == single device (VERDICT r2 #3).  At
