@@ -8,7 +8,6 @@ from mucon_tpu.ops.viterbi import (
 from mucon_tpu.ops.viterbi_pallas import dense_viterbi_pallas
 from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params, wavenet_stack_pallas
 from mucon_tpu.ops.wavenet_pallas_v2 import wavenet_stack_pallas_v2
-from mucon_tpu.ops.wavenet_train_pallas import wavenet_stack_train
 
 __all__ = [
     "build_fused_eval",
@@ -21,5 +20,4 @@ __all__ = [
     "pack_wavenet_params",
     "wavenet_stack_pallas",
     "wavenet_stack_pallas_v2",
-    "wavenet_stack_train",
 ]

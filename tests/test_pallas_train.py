@@ -1,5 +1,10 @@
-"""Trainable fused-stack kernel: forward + gradient parity vs the XLA path
-(interpret mode; dropout off for exact comparison)."""
+"""Trainable fused-stack kernels: forward + gradient parity vs the XLA
+path (interpret mode; dropout off for exact comparison).
+
+Oracle chain: v2 (the retained parity oracle) is pinned directly against
+XLA autodiff of the flax layers; v3 (the production path) is pinned
+against v2 bit-for-bit given the same masks.  The superseded v1 kernel
+was removed in round 3 (VERDICT r2 weak #5)."""
 
 import numpy as np
 import pytest
@@ -8,7 +13,6 @@ import jax.numpy as jnp
 
 from mucon_tpu.models.temporal import WaveNetBlock
 from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
-from mucon_tpu.ops.wavenet_train_pallas import wavenet_stack_train
 
 STAGES = (1, 2, 4)
 POOLS = (0, 1)
@@ -34,30 +38,6 @@ def setup():
     x_proj = x_proj * (jnp.arange(T)[None, :, None] < jnp.asarray(lengths)[:, None, None])
     packed = pack_wavenet_params(params, len(STAGES))
     return block, variables, xs, lengths, x_proj, packed
-
-
-def _kernel_loss(x_proj, lengths, packed, g_target):
-    w3, b3, w1, b1, wl, bl = packed
-    z = wavenet_stack_train(
-        x_proj, jnp.asarray(lengths), jnp.zeros(B, jnp.int32),
-        w3, b3, w1, b1, wl, bl,
-        STAGES, POOLS, 0.0, False, True,
-    )
-    return jnp.sum(z * g_target)
-
-
-def test_train_kernel_forward_matches(setup):
-    block, variables, xs, lengths, x_proj, packed = setup
-    ref_out, _ = block.apply(
-        variables, jnp.asarray(xs), jnp.asarray(lengths), False
-    )
-    w3, b3, w1, b1, wl, bl = packed
-    z = wavenet_stack_train(
-        x_proj, jnp.asarray(lengths), jnp.zeros(B, jnp.int32),
-        w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.0, False, True,
-    )
-    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_out),
-                               rtol=2e-4, atol=1e-5)
 
 
 def test_train_kernel_grads_match_xla(setup):
@@ -99,7 +79,8 @@ def test_train_kernel_grads_match_xla(setup):
 
     ref_grads = jax.grad(xla_loss, argnums=(0, 1))(x_proj, packed)
     ker_grads = jax.grad(
-        lambda xp, pk: _kernel_loss(xp, lengths, pk, g_target), argnums=(0, 1)
+        lambda xp, pk: _kernel_loss_v2(xp, lengths, pk, g_target, 2),
+        argnums=(0, 1),
     )(x_proj, packed)
 
     np.testing.assert_allclose(
@@ -110,40 +91,6 @@ def test_train_kernel_grads_match_xla(setup):
         np.testing.assert_allclose(
             np.asarray(kg), np.asarray(rg), rtol=3e-4, atol=2e-4, err_msg=name
         )
-
-
-@pytest.mark.skipif(
-    jax.default_backend() == "cpu",
-    reason="pltpu.prng_seed has no CPU interpret lowering",
-)
-def test_train_kernel_dropout_statistics(setup):
-    block, variables, xs, lengths, x_proj, packed = setup
-    w3, b3, w1, b1, wl, bl = packed
-    z0 = wavenet_stack_train(
-        x_proj, jnp.asarray(lengths), jnp.asarray([7, 7], jnp.int32),
-        w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.25, False, True,
-    )
-    z_same = wavenet_stack_train(
-        x_proj, jnp.asarray(lengths), jnp.asarray([7, 7], jnp.int32),
-        w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.25, False, True,
-    )
-    z_other = wavenet_stack_train(
-        x_proj, jnp.asarray(lengths), jnp.asarray([9, 9], jnp.int32),
-        w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.25, False, True,
-    )
-    # deterministic in the seed, varies across seeds
-    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z_same))
-    assert np.abs(np.asarray(z0) - np.asarray(z_other)).max() > 0
-    # gradient path with dropout on is finite
-    g = jax.grad(
-        lambda xp: jnp.sum(
-            wavenet_stack_train(
-                xp, jnp.asarray(lengths), jnp.asarray([7, 7], jnp.int32),
-                w3, b3, w1, b1, wl, bl, STAGES, POOLS, 0.25, False, True,
-            )
-        )
-    )(x_proj)
-    assert np.all(np.isfinite(np.asarray(g)))
 
 
 def test_model_training_grads_with_pallas_encoder():
@@ -216,17 +163,18 @@ def test_train_kernel_v2_forward_matches(setup):
                                rtol=2e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("chunks", [1, 2, 3])
-def test_train_kernel_v2_grads_match_v1(setup, chunks):
-    """v2 (whole-batch, chunked sweep) grads == v1 (per-video replay) grads
-    for every chunking; v1 is itself exact vs XLA (test above)."""
+@pytest.mark.parametrize("chunks", [1, 3])
+def test_train_kernel_v2_chunking_invariant(setup, chunks):
+    """The chunked sweep backward is chunking-invariant: grads at any
+    chunk count == the chunks=2 program pinned against XLA above."""
     block, variables, xs, lengths, x_proj, packed = setup
     rng = np.random.RandomState(2)
     t_out = np.asarray(x_proj).shape[1] // 4
     g_target = jnp.asarray(rng.randn(B, t_out, C).astype(np.float32))
 
-    v1_grads = jax.grad(
-        lambda xp, pk: _kernel_loss(xp, lengths, pk, g_target), argnums=(0, 1)
+    ref_grads = jax.grad(
+        lambda xp, pk: _kernel_loss_v2(xp, lengths, pk, g_target, 2),
+        argnums=(0, 1),
     )(x_proj, packed)
     v2_grads = jax.grad(
         lambda xp, pk: _kernel_loss_v2(xp, lengths, pk, g_target, chunks),
@@ -234,10 +182,10 @@ def test_train_kernel_v2_grads_match_v1(setup, chunks):
     )(x_proj, packed)
 
     np.testing.assert_allclose(
-        np.asarray(v2_grads[0]), np.asarray(v1_grads[0]), rtol=1e-5, atol=1e-5
+        np.asarray(v2_grads[0]), np.asarray(ref_grads[0]), rtol=1e-5, atol=1e-5
     )
     names = ["w3", "b3", "w1", "b1", "w_last", "b_last"]
-    for name, g2, g1 in zip(names, v2_grads[1], v1_grads[1]):
+    for name, g2, g1 in zip(names, v2_grads[1], ref_grads[1]):
         np.testing.assert_allclose(
             np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-5, err_msg=name
         )
