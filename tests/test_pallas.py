@@ -289,3 +289,41 @@ def test_wavenet_stack_v2_sliced_matches_unsliced():
     z_s, l_s = out
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l_s))
     np.testing.assert_array_equal(np.asarray(z0), np.asarray(z_s))
+
+
+def test_bilstm_recurrence_kernel_matches_scan():
+    """Fused BiLSTM recurrence kernel (ops/lstm_pallas.py) == the lax.scan
+    twin AND MaskedBiLSTM's fused scan given the same folded projections,
+    including state freezing at ragged lengths."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mucon_tpu.ops.lstm_pallas import (
+        bilstm_recurrence_pallas,
+        bilstm_recurrence_xla,
+    )
+
+    rng = np.random.RandomState(3)
+    T, B, H = 24, 3, 16
+    xp = jnp.asarray(rng.randn(T, 2, B, 4 * H).astype(np.float32) * 0.5)
+    lengths = np.array([24, 11, 1])
+    m = jnp.asarray(
+        (np.arange(T)[:, None] < lengths[None, :]).astype(np.float32)
+    )
+    whh = jnp.asarray(rng.randn(2, H, 4 * H).astype(np.float32) * 0.2)
+
+    o_k, h_k, c_k = bilstm_recurrence_pallas(xp, m, whh, interpret=True)
+    o_x, h_x, c_x = bilstm_recurrence_xla(xp, m, whh)
+    for a, b in ((o_k, o_x), (h_k, h_x), (c_k, c_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+    # state froze at each video's last valid frame
+    frozen = np.asarray(o_k)[lengths[1]:, 0, 1, :]
+    np.testing.assert_allclose(
+        frozen,
+        np.broadcast_to(
+            np.asarray(o_k)[lengths[1] - 1, 0, 1, :], frozen.shape
+        ),
+        rtol=0, atol=0,
+    )
