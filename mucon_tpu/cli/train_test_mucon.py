@@ -75,8 +75,16 @@ def run(cfg, supervision: str = "weak"):
     trainer.wait_for_save()  # surface async-write failures before reporting
 
     # full evaluation with viterbi decoding
+    import time as _time
+
     test_evaluator.viterbi_mode(True)
+    t_final0 = _time.perf_counter()
     evaluator_result = test_evaluator.evaluate(trainer.params)
+    trainer.logger.log(
+        "final_eval",
+        trainer.epoch_num,
+        eval_seconds=_time.perf_counter() - t_final0,
+    )
     print(evaluator_result)
 
     test_evaluator.set_checkpointing_folder(trainer._get_checkpointing_folder())

@@ -415,7 +415,9 @@ class SimpleTrainer:
             eval_results = []
             if self.evaluators and (epoch + 1) % self.eval_every == 0:
                 for i, evaluator in enumerate(self.evaluators):
+                    t_ev0 = time.perf_counter()
                     result = evaluator.evaluate(self.params)
+                    eval_seconds = time.perf_counter() - t_ev0
                     eval_results.append(result)
                     name = self.eval_metric_name_format.format(i + 1)
                     self.metrics[name].set_value(result, epoch)
@@ -423,6 +425,7 @@ class SimpleTrainer:
                     self.logger.log(
                         f"eval_{i}",
                         epoch,
+                        eval_seconds=eval_seconds,
                         **{
                             k: v
                             for k, v in dataclasses.asdict(result).items()

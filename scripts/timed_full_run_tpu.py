@@ -100,14 +100,39 @@ def main():
         (Path(run_root) / "timed_full_run").iterdir(),
         key=lambda p: int(p.name),
     )[-1]
-    epoch_times, eval_times = [], []
+    epoch_times, eval_times, final_eval = [], [], 0.0
     with open(run_folder / "events.jsonl") as f:
         for line in f:
             ev = json.loads(line)
             if ev.get("kind") == "epoch" and "epoch_seconds" in ev:
                 epoch_times.append(ev["epoch_seconds"])
-            if ev.get("kind") == "eval" and "eval_seconds" in ev:
+            elif ev.get("kind", "").startswith("eval_") and "eval_seconds" in ev:
                 eval_times.append(ev["eval_seconds"])
+            elif ev.get("kind") == "final_eval":
+                final_eval = ev.get("eval_seconds", 0.0)
+
+    import numpy as np
+
+    t_first = epoch_times[0] if epoch_times else 0.0
+    t_steady = sum(epoch_times[1:])
+    t_evals = sum(eval_times)
+    t_other = max(0.0, t_run - t_first - t_steady - t_evals - final_eval)
+
+    # v5e-8 projection, per phase:
+    #   * steady train scales 1/8 x the measured shard_map-vs-plain
+    #     per-chip factor (SHARD_FACTOR env, from
+    #     scripts/probe_shardmap_overhead_tpu.py on real hardware)
+    #   * periodic + final evals shard 8 ways too (data-only mesh keeps
+    #     the fused kernels; dummy-video padding is per-batch noise)
+    #   * the one-time first epoch keeps its compile serial but splits
+    #     the cache fill (each chip holds 1/8 of every batch; on this
+    #     rig's shared tunnel the fill is wire-bound so we conservatively
+    #     do NOT scale it)
+    shard_factor = float(os.environ.get("SHARD_FACTOR", "1.0"))
+    proj_total = (
+        t_gen + t_first + (t_steady * shard_factor + t_evals + final_eval) / 8
+        + t_other
+    )
 
     lines = [
         "# Timed full-scale run (reference north star)",
@@ -119,19 +144,26 @@ def main():
         "| phase | wall clock |",
         "|---|---|",
         f"| dataset materialization (one-time, synthetic) | {t_gen:.0f} s |",
-        f"| train {epochs} epochs + periodic evals + final Viterbi eval "
-        f"| {t_run:.0f} s |",
+        f"| first epoch: compile + cache fill + train | {t_first:.0f} s |",
+        f"| steady train ({max(0, len(epoch_times) - 1)} epochs) "
+        f"| {t_steady:.0f} s |",
+        f"| periodic evals ({len(eval_times)}) | {t_evals:.0f} s |",
+        f"| final full-Viterbi eval | {final_eval:.0f} s |",
+        f"| other (checkpoints, metric IO, loader) | {t_other:.0f} s |",
         f"| **total** | **{total:.0f} s = {total/60:.1f} min** |",
         "",
         f"Reference baseline: < 12 h GPU (README.md:100). "
         f"Target: < 1 h on v5e-8 (BASELINE.md). Measured: "
-        f"**{total/60:.1f} min on ONE chip** — "
-        f"{'MET' if total < 3600 else 'NOT MET'} with 8x headroom to spare.",
+        f"**{total/60:.1f} min on ONE chip**"
+        + (" — MET on a single chip already." if total < 3600 else "."),
+        "",
+        f"v5e-8 projection (steady train x{shard_factor:.2f} measured "
+        f"shard_map factor / 8; evals / 8; compile + cache fill held "
+        f"serial): **{proj_total:.0f} s = {proj_total/60:.1f} min** — "
+        f"{'MET' if proj_total < 3600 else 'NOT MET'}.",
         "",
     ]
     if epoch_times:
-        import numpy as np
-
         lines += [
             f"Per-epoch train time: first {epoch_times[0]:.1f} s (includes "
             f"compile + cache fill over the ~150 MB/s tunnel), "
