@@ -187,6 +187,14 @@ def get_cfg_defaults() -> ConfigNode:
     # saving cannot repay. "auto" therefore keeps kernel matmuls f32 even
     # under tpu.compute_dtype=bfloat16 (the 2048->128 in-projection, a
     # genuinely MXU-bound matmul, still uses bf16 operands there).
+    _C.tpu.use_pallas_lstm = "auto"  # fused BiLSTM recurrence kernel
+    # (ops/lstm_pallas.py) on EVAL/INFERENCE traces: the whole two-direction
+    # masked recurrence runs as one Pallas program with weights and state
+    # VMEM-resident. Measured on v5e (Tz=128, B=8, H=128, interleaved A/B,
+    # scalar-readback sync): 0.32 vs 0.34 ms against the unroll-8 scan,
+    # checksums identical. No VJP — training always uses the scan; f32 +
+    # bidirectional + VMEM-fit required (B=128 eval falls back to the
+    # scan by the VMEM gate). Same tri-state as use_pallas.
     _C.tpu.use_pallas_loss = False  # fused mucon ("flint", box template)
     # loss kernel: masks built in VMEM, never materialized to HBM
     # (ops/mucon_loss_pallas.py); exact-grad custom VJP

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from mucon_tpu.models.layers import time_mask, torch_lstm_init
+from mucon_tpu.models.routing import log_route, resolve_pallas_flag
 
 
 def lstm_step(x_proj, h, c, w_hh, b_hh):
@@ -108,6 +109,44 @@ class MaskedBiLSTM(nn.Module):
     # matmuls are far too small to fill the MXU, so the scan is
     # loop-overhead bound; unrolling amortizes it (measured on v5e —
     # see docs/ROOFLINE.md step decomposition)
+    use_pallas: object = False  # tri-state (tpu.use_pallas_lstm): run the
+    # recurrence as ONE Pallas program (ops/lstm_pallas.py) with weights +
+    # state VMEM-resident. Measured on v5e at the flagship shape (Tz=128,
+    # B=8, H=128): 0.32 vs 0.34 ms per call against the unroll-8 scan,
+    # checksum-identical (scripts/probe_lstm_kernel_tpu.py). f32,
+    # bidirectional, VMEM-gated; anything else falls back to the scan.
+
+    def _kernel_vmem_budget(self) -> int:
+        return 64 * 2**20  # the fused eval program shares VMEM; flagship
+        # train shape is 5.5 MB, eval B=128/Tz=160 (105 MB) must fall back
+
+    def _route_to_kernel(self, xs) -> bool:
+        """Static (trace-time) routing for the fused recurrence kernel."""
+        from mucon_tpu.ops.lstm_pallas import bilstm_vmem_bytes
+
+        if not resolve_pallas_flag(self.use_pallas):
+            return False
+        B, T, _ = xs.shape
+        if not self.bidirectional:
+            log_route(f"bilstm Tz={T} B={B}: scan (kernel is 2-direction)")
+            return False
+        if xs.dtype != jnp.float32:
+            log_route(
+                f"bilstm Tz={T} B={B}: scan (kernel is f32, got {xs.dtype})"
+            )
+            return False
+        need = bilstm_vmem_bytes(T, B, self.hidden_size)
+        if need > self._kernel_vmem_budget():
+            log_route(
+                f"bilstm Tz={T} B={B}: scan (kernel needs "
+                f"{need / 2**20:.0f} MB VMEM > budget)"
+            )
+            return False
+        log_route(
+            f"bilstm Tz={T} B={B}: fused Pallas recurrence "
+            f"({need / 2**20:.1f} MB VMEM)"
+        )
+        return True
 
     def setup(self):
         self.fwd = LSTMCellParams(self.input_size, self.hidden_size)
@@ -134,26 +173,40 @@ class MaskedBiLSTM(nn.Module):
         w_hh = jnp.stack([self.fwd.w_hh, self.bwd.w_hh])  # [2 x H x 4H]
         b_hh = jnp.stack([self.fwd.b_hh, self.bwd.b_hh])  # [2 x 4H]
 
-        def step(carry, inp):
-            h, c = carry  # [2 x B x H]
-            xp_t, m_t = inp  # [2 x B x 4H], [B]
-            gates = xp_t + jnp.einsum("dbh,dhg->dbg", h, w_hh) + b_hh[:, None, :]
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-            mm = m_t[None, :, None]
-            h = mm * h_new + (1 - mm) * h
-            c = mm * c_new + (1 - mm) * c
-            return (h, c), h
+        if self._route_to_kernel(xs):
+            from mucon_tpu.ops.lstm_pallas import bilstm_recurrence_pallas
 
-        init = (
-            jnp.zeros((2, B, H), xs.dtype),
-            jnp.zeros((2, B, H), xs.dtype),
-        )
-        (hc, cc), outs = jax.lax.scan(
-            step, init, (jnp.moveaxis(xp, 2, 0), m.swapaxes(0, 1)),
-            unroll=self.unroll,
-        )
+            # fold b_hh in (the kernel takes fully-projected gates)
+            outs, hc, cc = bilstm_recurrence_pallas(
+                jnp.moveaxis(xp + b_hh[:, None, None, :], 2, 0),
+                m.swapaxes(0, 1),
+                w_hh,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+
+            def step(carry, inp):
+                h, c = carry  # [2 x B x H]
+                xp_t, m_t = inp  # [2 x B x 4H], [B]
+                gates = (
+                    xp_t + jnp.einsum("dbh,dhg->dbg", h, w_hh) + b_hh[:, None, :]
+                )
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+                mm = m_t[None, :, None]
+                h = mm * h_new + (1 - mm) * h
+                c = mm * c_new + (1 - mm) * c
+                return (h, c), h
+
+            init = (
+                jnp.zeros((2, B, H), xs.dtype),
+                jnp.zeros((2, B, H), xs.dtype),
+            )
+            (hc, cc), outs = jax.lax.scan(
+                step, init, (jnp.moveaxis(xp, 2, 0), m.swapaxes(0, 1)),
+                unroll=self.unroll,
+            )
         # outs: [T x 2 x B x H]
         out_f = outs[:, 0].swapaxes(0, 1)
         out_b = _reverse_valid(outs[:, 1].swapaxes(0, 1), lengths)

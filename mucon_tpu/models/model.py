@@ -25,31 +25,11 @@ from mucon_tpu.models.mucon import (
     build_model,
 )
 from mucon_tpu.models.outputs import MuConForwardOut, MuConPredictOut
+from mucon_tpu.models.routing import log_route as _log_route
+from mucon_tpu.models.routing import resolve_pallas_flag
 
 
 logger = logging.getLogger("mucon_tpu.kernel_routing")
-_logged_routes = set()
-
-
-def _log_route(msg: str) -> None:
-    """One-time INFO line per distinct encoder-path decision (runs at
-    trace time, so without dedup every recompile would repeat it).
-    Silent unless the app configures logging; `mucon_tpu.cli` entries
-    enable it at INFO so runs record which path the config actually got."""
-    if msg not in _logged_routes:
-        _logged_routes.add(msg)
-        logger.info(msg)
-
-
-def resolve_pallas_flag(v) -> bool:
-    """Tri-state pallas switches: "auto" -> kernels on for accelerator
-    backends, XLA on CPU; True/False force. (CPU with True runs the
-    kernels in slow interpret mode — used by tests.)"""
-    if isinstance(v, str):
-        if v == "auto":
-            return jax.default_backend() != "cpu"
-        raise ValueError(f"Invalid pallas flag {v!r} (use 'auto'|True|False)")
-    return bool(v)
 
 
 class MuConModel:

@@ -194,6 +194,10 @@ class MuConNet(nn.Module):
     # factor; "auto" resolves PER TRACE from the batch size (see
     # resolve_scan_unroll — unroll only wins while the per-step work is
     # too small to hide the loop overhead).
+    use_pallas_lstm: object = False  # tri-state (tpu.use_pallas_lstm):
+    # fused Pallas BiLSTM recurrence on eval/inference traces (the kernel
+    # has no VJP; train always scans). Routed per trace in MaskedBiLSTM
+    # (f32 + bidirectional + VMEM fit required).
 
     @nn.compact
     def __call__(
@@ -267,6 +271,9 @@ class MuConNet(nn.Module):
             hidden_size=H,
             bidirectional=self.enc_bidirectional,
             unroll=scan_unroll,
+            # the fused recurrence kernel has no VJP: eval/inference traces
+            # only; training keeps the differentiable scan
+            use_pallas=False if train else self.use_pallas_lstm,
             name="fs_encoder_lstm",
         )(z, tz_len)
         enc_dim = 2 * H if self.enc_bidirectional else H
@@ -441,4 +448,5 @@ def build_model(cfg, num_classes: int, max_decoding_steps: int, input_feature_si
         dtype=dtype,
         remat_encoder=cfg.tpu.remat,
         scan_unroll=_validate_scan_unroll(cfg.tpu.scan_unroll),
+        use_pallas_lstm=cfg.tpu.use_pallas_lstm,
     )

@@ -327,3 +327,30 @@ def test_bilstm_recurrence_kernel_matches_scan():
         ),
         rtol=0, atol=0,
     )
+
+
+def test_masked_bilstm_module_kernel_path_matches_scan():
+    """MaskedBiLSTM(use_pallas=True) == the scan path through the MODULE
+    (b_hh folding, valid-prefix reverse, output concat, final h/c)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mucon_tpu.models.lstm import MaskedBiLSTM
+
+    rng = np.random.RandomState(7)
+    B, T, I, H = 3, 18, 6, 8
+    lengths = jnp.asarray(np.array([18, 9, 2]))
+    xs = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+
+    base = MaskedBiLSTM(input_size=I, hidden_size=H)
+    params = base.init(jax.random.PRNGKey(0), xs, lengths)["params"]
+
+    out_s, (h_s, c_s) = base.apply({"params": params}, xs, lengths)
+    # use_pallas=True on CPU -> interpret mode (resolve_pallas_flag)
+    kern = MaskedBiLSTM(input_size=I, hidden_size=H, use_pallas=True)
+    out_k, (h_k, c_k) = kern.apply({"params": params}, xs, lengths)
+
+    for a, b in ((out_k, out_s), (h_k, h_s), (c_k, c_s)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
