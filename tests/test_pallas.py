@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.interpret  # CPU interpret-mode kernel oracle tier (slow)
 import jax
 import jax.numpy as jnp
 

@@ -5,6 +5,8 @@ and a torch oracle pinning the in-place overlap-widening quirk
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.interpret  # CPU interpret-mode kernel oracle tier (slow)
 import jax
 import jax.numpy as jnp
 

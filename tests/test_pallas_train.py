@@ -8,6 +8,8 @@ was removed in round 3 (VERDICT r2 weak #5)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.interpret  # CPU interpret-mode kernel oracle tier (slow)
 import jax
 import jax.numpy as jnp
 

@@ -89,6 +89,7 @@ def test_dp_sp_matches_single_device(setup):
     assert l_dpsptp == pytest.approx(l_single, rel=2e-4)
 
 
+@pytest.mark.interpret
 def test_shardmap_kernel_train_matches_single(setup):
     """VERDICT r2 #1: a data-only mesh must keep the fused Pallas kernels.
     With use_pallas(_train)=True forced (interpret mode on CPU) the
@@ -142,6 +143,7 @@ def test_shardmap_kernel_train_matches_single(setup):
         )
 
 
+@pytest.mark.interpret
 def test_shardmap_kernel_eval_matches_single(tmp_path):
     """Sharded fused eval on a data-only mesh with kernels forced
     (shard_map + interpret-mode Pallas) == single-device kernel eval."""
