@@ -32,6 +32,22 @@ from mucon_tpu.models.routing import resolve_pallas_flag
 logger = logging.getLogger("mucon_tpu.kernel_routing")
 
 
+def sliced_train_uses_kernel(nb: int, B: int, knob) -> bool:
+    """Routing for the SLICED v3 train kernel under tpu.use_pallas_train.
+
+    Measured on v5e (interleaved A/Bs, scalar-readback sync):
+      * nb == 1 (unsliced, B=8 T=2048): kernel, 1.93x over XLA.
+      * 1 < nb < B (multi-video slices, B=64 t=1024 nb=4): XLA,
+        13.10 vs 12.60 ms — launches lose at this size.
+      * nb == B (single-video slices, B=8 T=10240): kernel,
+        14.81 vs 17.44 ms (1.18x) — scripts/probe_t10k_tpu.py; VMEM-
+        resident residual streams beat XLA's long-T HBM traffic.
+    Explicit True forces the kernel at any slicing."""
+    if knob != "auto":
+        return bool(knob)
+    return nb == 1 or nb == B
+
+
 class MuConModel:
     """Owns the flax module + config; stateless apply helpers.
 
@@ -170,11 +186,17 @@ class MuConModel:
 
         # VMEM fit via batch slicing (equal-shape sub-batch programs, one
         # compile); XLA fallback when even single-video slices exceed the
-        # budget.  Under "auto", slicing itself routes to XLA: measured on
-        # v5e, the UNSLICED kernel wins at small batch (B=8, T=2048:
-        # 1.93x) but a sliced B=64/t=1024 step ran 13.10 vs XLA's
-        # 12.60 ms — large batches amortize XLA better and slices add
-        # launches.  Explicit use_pallas_train=True keeps the sliced path.
+        # budget.  Under "auto", MULTI-video slices route to XLA: measured
+        # on v5e, the UNSLICED kernel wins at small batch (B=8, T=2048:
+        # 1.93x) but a sliced B=64/t=1024 step (nb=4, 16 videos/slice) ran
+        # 13.10 vs XLA's 12.60 ms — large batches amortize XLA better and
+        # slices add launches.  SINGLE-video slices (nb == B, i.e. the
+        # video is so long only one fits the budget) keep the kernel: at
+        # B=8, T=10240 the sliced kernel measured 14.81 vs XLA's 17.44
+        # ms/step (1.18x, scripts/probe_t10k_tpu.py) — VMEM-resident
+        # residual streams beat XLA's long-T HBM traffic, and the launch
+        # overhead amortizes over 10k-row programs.  Explicit
+        # use_pallas_train=True forces the sliced path at any size.
         B, T = feats.shape[0], feats.shape[1]
         C = int(self.cfg.model.ft.hidden_size)
         drop = float(self.cfg.model.ft.dropout_rate)
@@ -185,10 +207,11 @@ class MuConModel:
                 "exceeds the kernel VMEM budget)"
             )
             return None, None
-        if nb > 1 and self.cfg.tpu.use_pallas_train == "auto":
+        if not sliced_train_uses_kernel(nb, B, self.cfg.tpu.use_pallas_train):
             _log_route(
-                f"train encoder B={B} T={T}: XLA (auto: {nb} batch slices "
-                "needed; sliced kernel launches lose to XLA at this size)"
+                f"train encoder B={B} T={T}: XLA (auto: {nb} multi-video "
+                "batch slices needed; sliced kernel launches lose to XLA "
+                "at this size)"
             )
             return None, None
         _log_route(

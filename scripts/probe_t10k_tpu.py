@@ -3,12 +3,12 @@
 SURVEY's north star names ">10k frames"; every hardware number so far is
 T = 2048-2560.  This probe runs the flagship model at T_pad = 10240:
 
-* TRAIN at B=8: "auto" routes to XLA here by design (a 10k-frame video
-  needs one kernel slice per video — plan_batch_slices -> B slices — and
-  sliced train loses to XLA, CLAUDE.md session 5).  The probe ALSO runs
-  the forced sliced-kernel path (use_pallas_train=True) interleaved, so
-  the routing decision is re-validated at this length rather than
-  assumed.
+* TRAIN at B=8: both the XLA path and the forced sliced-kernel path
+  (use_pallas_train=True) run interleaved.  MEASURED (v5e, 2026-08):
+  XLA 17.44 ms/step vs sliced kernel 14.81 (1.18x) — which REVERSED the
+  session-5 "slices lose to XLA" rule for SINGLE-video slices: "auto"
+  now keeps the kernel when nb == B (one video per slice, only reachable
+  at very long T) and still routes multi-video slices to XLA.
 * EVAL at B=32: the sliced eval kernel stays on (2 videos per program);
   depth-3 pipelined like the evaluator/bench.
 

@@ -662,3 +662,17 @@ def test_train_kernel_v3_sliced_dropout_seed_contract(setup):
             STAGES, POOLS, "max", drop, False, True, None))
     z_manual = jnp.concatenate(parts, axis=0)
     np.testing.assert_array_equal(np.asarray(z_sliced), np.asarray(z_manual))
+
+
+def test_sliced_train_routing_rule():
+    """"auto" keeps the kernel unsliced and for SINGLE-video slices
+    (nb == B — the long-T regime, 1.18x measured at T=10240) but routes
+    multi-video slices to XLA (measured loss at B=64/t=1024)."""
+    from mucon_tpu.models.model import sliced_train_uses_kernel
+
+    assert sliced_train_uses_kernel(1, 8, "auto")       # unsliced
+    assert sliced_train_uses_kernel(8, 8, "auto")       # single-video slices
+    assert not sliced_train_uses_kernel(4, 64, "auto")  # multi-video slices
+    assert not sliced_train_uses_kernel(2, 8, "auto")
+    assert sliced_train_uses_kernel(4, 64, True)        # explicit force
+    assert not sliced_train_uses_kernel(1, 8, False)
