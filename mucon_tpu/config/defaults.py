@@ -160,6 +160,12 @@ def get_cfg_defaults() -> ConfigNode:
     # unlimited. Batches cache first-come-first-served until the budget is
     # spent, later ones stream each epoch; the trainer fills first and its
     # evaluators share the same budget (harness/cache.py)
+    _C.tpu.cache_budget_eval_gb = 0.0  # slice of cache_budget_gb the TRAIN
+    # cache may not consume, so the small-but-replayed eval set still
+    # caches when the train set alone exceeds the budget (the trainer
+    # fills first; without a reserve, every periodic eval re-streams the
+    # test features — measured 620 s of a 2546 s Breakfast-scale run over
+    # this rig's tunnel, docs/TIMED_RUN.md). 0 = plain FCFS.
     _C.tpu.eval_feats_transfer_dtype = "float32"  # eval feature wire format:
     # "float32" keeps exact metric parity; "float16"/"bfloat16" halve eval
     # HBM + wire bytes for memory-constrained single-chip runs

@@ -310,7 +310,7 @@ class MuConEvaluator:
             from mucon_tpu.harness.cache import arrays_nbytes
 
             if self.cache_budget.try_reserve(
-                arrays_nbytes(arrays), "eval batch"
+                arrays_nbytes(arrays), "eval batch", pool="eval"
             ):
                 self._array_cache[key] = arrays
         return arrays

@@ -58,11 +58,14 @@ def main():
         ("tpu.pad_multiple", "64" if small else "512"),
         ("tpu.cache_batches", "True"),
         # HBM discipline on ONE chip: the f16 train cache alone is ~10.6
-        # GiB (the v5e-8 target shards it 8 ways); budget the cache and
-        # let eval batches stream (harness/cache.py), and halve the eval
-        # wire too — this is a throughput measurement on synthetic data,
-        # metric parity is not at stake
-        ("tpu.cache_budget_gb", "11.0"),
+        # GiB (the v5e-8 target shards it 8 ways); budget the cache with
+        # an eval reserve so BOTH the train replay and the ~2 GiB f16
+        # eval set stay device-resident (round-3 measurement: evals
+        # re-streaming over the tunnel cost 620 s of a 2546 s run), and
+        # halve the eval wire too — this is a throughput measurement on
+        # synthetic data, metric parity is not at stake
+        ("tpu.cache_budget_gb", "13.0"),
+        ("tpu.cache_budget_eval_gb", "2.2"),
         ("tpu.feats_transfer_dtype", "float16"),
         ("tpu.eval_feats_transfer_dtype", "float16"),
     ]

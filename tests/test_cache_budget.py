@@ -69,6 +69,35 @@ class TestCacheBudget:
         assert b.try_reserve(40)  # still fits
         assert b.reserved_bytes == 100
 
+    def test_eval_reserve_blocks_train_not_eval(self):
+        b = CacheBudget(100, eval_reserve_bytes=30)
+        assert b.try_reserve(60, pool="train")
+        assert not b.try_reserve(20, pool="train")  # would eat the reserve
+        assert b.try_reserve(10, pool="train")  # 70 + 30 reserve == budget
+        assert b.try_reserve(25, pool="eval")  # reserve is eval's
+        assert not b.try_reserve(10, pool="eval")  # hard budget still holds
+        assert b.try_reserve(5, pool="eval")
+        assert b.reserved_bytes == 100
+
+    def test_eval_usage_counts_against_its_reserve_once(self):
+        b = CacheBudget(100, eval_reserve_bytes=30)
+        assert b.try_reserve(25, pool="eval")
+        # train may take budget - max(reserve - used_eval, 0) - used = 70
+        assert b.try_reserve(70, pool="train")
+        assert not b.try_reserve(10, pool="train")
+
+    def test_eval_may_use_unreserved_leftovers(self):
+        b = CacheBudget(100, eval_reserve_bytes=10)
+        assert b.try_reserve(50, pool="eval")  # well past its reserve
+        assert b.try_reserve(50, pool="train")
+        assert not b.try_reserve(1, pool="train")
+
+    def test_zero_reserve_is_plain_fcfs(self):
+        b = CacheBudget(100)
+        assert b.try_reserve(60, pool="train")
+        assert b.try_reserve(40, pool="eval")
+        assert not b.try_reserve(1, pool="eval")
+
     def test_arrays_nbytes(self):
         arrays = {
             "a": np.zeros((3, 4), np.float32),
