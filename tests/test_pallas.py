@@ -356,3 +356,51 @@ def test_masked_bilstm_module_kernel_path_matches_scan():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
         )
+
+
+def test_model_forward_with_lstm_kernel_matches_scan():
+    """Full MuCon eval forward with tpu.use_pallas_lstm=True (interpret)
+    == the scan path: exercises the MuConNet call-site gating (train
+    traces must NOT route — the kernel has no VJP)."""
+    import numpy as np
+    import jax
+    from tests.test_model import M, NMAX, D, make_sample, small_cfg
+    from mucon_tpu.data import collate_padded
+    from mucon_tpu.models import batch_to_arrays, create_model
+
+    rng = np.random.RandomState(11)
+    samples = [make_sample(rng, 60, 3, "a"), make_sample(rng, 41, 5, "b")]
+    batch = collate_padded(samples, n_max=NMAX, pad_multiple=16)
+
+    def build(flag):
+        cfg = small_cfg()
+        cfg.tpu.use_pallas_lstm = flag
+        return create_model(cfg, num_classes=M, max_decoding_steps=NMAX + 1,
+                            input_feature_size=D)
+
+    base = build(False)
+    kern = build(True)
+    params = base.init_params(jax.random.PRNGKey(0), batch)
+    arrays = batch_to_arrays(batch)
+
+    for tf in (True, False):
+        f0 = base.forward(params, arrays, train=False, teacher_forcing=tf)
+        f1 = kern.forward(params, arrays, train=False, teacher_forcing=tf)
+        for a, b in zip(jax.tree.leaves(f0), jax.tree.leaves(f1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+    # train trace must not hit the kernel (it would fail under jax.grad)
+    def loss_of(mdl):
+        def f(p):
+            fwd = mdl.forward(p, arrays, rng=jax.random.PRNGKey(1),
+                              train=True, teacher_forcing=True)
+            return mdl.loss(fwd, arrays, teacher_forcing=True).main
+        return f
+
+    g0 = jax.grad(loss_of(base))(params)
+    g1 = jax.grad(loss_of(kern))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
