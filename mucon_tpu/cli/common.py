@@ -52,4 +52,25 @@ def compose_config(args) -> ConfigNode:
         cfg.defrost()
         cfg.experiment_name = args.exp_name
         cfg.freeze()
+    apply_runtime_config(cfg)
     return cfg
+
+
+def apply_runtime_config(cfg) -> None:
+    """Process-level JAX runtime knobs derived from the config.
+
+    tpu.compilation_cache_dir: JAX's persistent compilation cache.
+    Measured over the axon backend (scripts/probe_compile_cache_tpu.py):
+    an 11.2 s compile collapses to 0.65 s in a FRESH process, Pallas
+    programs included (Mosaic output is embedded in the cached
+    executable). The timed full run's first epoch is 900-1300 s of
+    compiles, so repeat runs at the same config skip nearly all of it."""
+    cache_dir = str(getattr(cfg.tpu, "compilation_cache_dir", "") or "")
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        logging.getLogger("mucon_tpu").info(
+            "persistent compilation cache: %s", cache_dir
+        )

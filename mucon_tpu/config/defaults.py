@@ -160,6 +160,12 @@ def get_cfg_defaults() -> ConfigNode:
     # unlimited. Batches cache first-come-first-served until the budget is
     # spent, later ones stream each epoch; the trainer fills first and its
     # evaluators share the same budget (harness/cache.py)
+    _C.tpu.compilation_cache_dir = ""  # JAX persistent compilation cache
+    # directory ("" = off). Validated over the axon backend incl. Pallas
+    # programs: a fresh process reloads executables from disk instead of
+    # recompiling (11.2 s -> 0.65 s measured,
+    # scripts/probe_compile_cache_tpu.py) — repeat runs at the same
+    # config skip the compile-dominated first epoch.
     _C.tpu.cache_budget_eval_gb = 0.0  # slice of cache_budget_gb the TRAIN
     # cache may not consume, so the small-but-replayed eval set still
     # caches when the train set alone exceeds the budget (the trainer

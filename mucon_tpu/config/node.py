@@ -163,6 +163,8 @@ def _merge_into(src: ConfigNode, dst: ConfigNode, path: List[str]) -> None:
 def _coerce(value: Any, old: Any, key: str) -> Any:
     """Coerce an override value to the type of the existing leaf."""
     if isinstance(value, str):
+        if value.strip() == "" and isinstance(old, str):
+            return value  # yaml parses "" as None; keep string leaves ""
         try:
             value = yaml.safe_load(value)
         except yaml.YAMLError:

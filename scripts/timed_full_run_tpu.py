@@ -70,6 +70,15 @@ def main():
         # 1.9 GiB eval reserve (252 padded f16 test videos)
         ("tpu.cache_budget_gb", "12.9"),
         ("tpu.cache_budget_eval_gb", "1.9"),
+    ]
+    # COMPILE_CACHE=<dir>: persistent compilation cache (repeat runs at
+    # the same config reload executables instead of recompiling — the
+    # warm-start production mode; see tpu.compilation_cache_dir)
+    if os.environ.get("COMPILE_CACHE"):
+        overrides += [
+            ("tpu.compilation_cache_dir", os.environ["COMPILE_CACHE"]),
+        ]
+    overrides += [
         ("tpu.feats_transfer_dtype", "float16"),
         ("tpu.eval_feats_transfer_dtype", "float16"),
     ]
@@ -141,9 +150,12 @@ def main():
         + t_other
     )
 
+    cc = os.environ.get("COMPILE_CACHE", "")
     lines = [
         "# Timed full-scale run (reference north star)",
         "",
+    ] + ([f"Persistent compilation cache: `{cc}` "
+          "(tpu.compilation_cache_dir).", ""] if cc else []) + [
         f"Breakfast-scale synthetic: 1460 train / 252 test videos, 48",
         f"classes, 2048-d features, T in [300, 3000]; reference-default",
         f"config (dropout .25, SGD+step, {epochs} epochs) on ONE v5e chip.",
@@ -201,7 +213,7 @@ def main():
     out = (
         Path("/tmp/TIMED_RUN_SMOKE.md")
         if small
-        else REPO / "docs" / "TIMED_RUN.md"
+        else REPO / "docs" / os.environ.get("TIMED_OUT", "TIMED_RUN.md")
     )
     out.write_text("\n".join(lines) + "\n")
     print(f"[timed] total {total:.0f}s -> {out}", flush=True)
