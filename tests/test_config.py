@@ -195,3 +195,34 @@ def test_clone_is_independent():
     c2 = cfg.clone()
     c2.dataset.split = 2
     assert cfg.dataset.split == 1
+
+
+def test_compilation_cache_dir_applies_and_roundtrips(tmp_path):
+    """tpu.compilation_cache_dir reaches jax.config via compose_config;
+    empty string (the default) is a no-op and survives yaml roundtrip."""
+    import jax
+
+    from mucon_tpu.cli.common import apply_runtime_config
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        cfg = get_cfg_defaults()
+        assert cfg.tpu.compilation_cache_dir == ""
+        apply_runtime_config(cfg)  # default: must not touch jax.config
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        cfg.defrost()
+        cfg.tpu.compilation_cache_dir = str(tmp_path / "cc")
+        cfg.freeze()
+        apply_runtime_config(cfg)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+
+        # roundtrip: the empty default must come back as "" not None
+        p = tmp_path / "c.yaml"
+        cfg2 = get_cfg_defaults()
+        cfg2.dump_to_file(str(p))
+        cfg3 = get_cfg_defaults()
+        cfg3.merge_from_file(str(p))
+        assert cfg3.tpu.compilation_cache_dir == ""
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
