@@ -153,6 +153,9 @@ class MuConModel:
                 z, tz = self._encode_pallas_train(params, batch_arrays, rng)
             elif not train and use_pallas:
                 z, tz = self._encode_pallas(params, batch_arrays)
+        elif self.cfg.model.ft.type == "mstcnpp":
+            if not train and use_pallas:
+                z, tz = self._encode_pallas_mstcnpp(params, batch_arrays)
 
         return self.net.apply(
             {"params": params},
@@ -339,6 +342,58 @@ class MuConModel:
             pooling_layers=tuple(self.cfg.model.ft.pooling_layers),
             pooling_type=self.cfg.model.ft.pooling_type,
             leaky=self.cfg.model.ft.leaky_relu,
+            interpret=_jax.default_backend() == "cpu",
+            mm_dtype=self._kernel_mm_dtype(),
+        )
+        if out is None:
+            return None, None
+        return out
+
+    def _encode_pallas_mstcnpp(self, params, batch_arrays):
+        """Fused MSTCN++ first stage (ops/mstcnpp_pallas.py — whole batch
+        VMEM-resident, dual dilated convs as shift-matmuls, concat-1x1
+        decomposed as a split matmul).  Eval/inference only, like the
+        WaveNet v2 kernel; training keeps the XLA path (no VJP)."""
+        import jax as _jax
+        from mucon_tpu.models.layers import mask_time
+        from mucon_tpu.ops.mstcnpp_pallas import (
+            mstcnpp_stack_pallas_sliced,
+            pack_mstcnpp_params,
+            plan_mstcnpp_slices,
+        )
+
+        ft = params["ft"]
+        feats = batch_arrays["feats"]
+        lengths = batch_arrays["num_frames"]
+        B, T = feats.shape[0], feats.shape[1]
+        C = int(self.cfg.model.ft.hidden_size)
+        n_slices = plan_mstcnpp_slices(B, T, C)
+        if n_slices is None:
+            _log_route(
+                f"eval mstcnpp encoder B={B} T={T}: XLA (single-video "
+                "slice exceeds the kernel VMEM budget)"
+            )
+            return None, None
+        _log_route(
+            f"eval mstcnpp encoder B={B} T={T}: fused Pallas stage "
+            f"({n_slices} slice(s), mm_dtype="
+            f"{self._kernel_mm_dtype() or 'float32'})"
+        )
+        # in-projection Conv1x1_0 in XLA: plain matmul + bias, NO relu
+        # (MSTCNPPFirstStage applies none), masked
+        w_in = ft["Conv1x1_0"]["kernel"]
+        b_in = ft["Conv1x1_0"]["bias"]
+        x = mask_time(feats @ w_in + b_in, lengths)
+        L = len(self.cfg.model.ft.stages)
+        packed = pack_mstcnpp_params(ft, L)
+        out = mstcnpp_stack_pallas_sliced(
+            x,
+            lengths,
+            *packed,
+            num_layers=L,
+            pooling_layers=tuple(
+                int(p) for p in self.cfg.model.ft.pooling_layers
+            ),
             interpret=_jax.default_backend() == "cpu",
             mm_dtype=self._kernel_mm_dtype(),
         )

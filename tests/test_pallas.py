@@ -404,3 +404,81 @@ def test_model_forward_with_lstm_kernel_matches_scan():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_mstcnpp_stack_kernel_matches_flax():
+    """Fused MSTCN++ stage kernel == MSTCNPPFirstStage (eval), ragged
+    lengths + pooling."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mucon_tpu.models.temporal import MSTCNPPFirstStage
+    from mucon_tpu.ops.mstcnpp_pallas import (
+        mstcnpp_stack_pallas_sliced,
+        pack_mstcnpp_params,
+    )
+
+    rng = np.random.RandomState(5)
+    B, T, CIN, C, L = 2, 64, 8, 16, 3
+    pooling = (0, 1)
+    lengths = np.array([64, 37], np.int32)
+    xs = rng.randn(B, T, CIN).astype(np.float32)
+
+    stage = MSTCNPPFirstStage(
+        input_dim=CIN, num_layers=L, num_f_maps=C, output_dim=C,
+        pooling_layers=pooling,
+    )
+    variables = stage.init(
+        jax.random.PRNGKey(0), jnp.asarray(xs), jnp.asarray(lengths), False
+    )
+    params = variables["params"]
+    ref_out, ref_len = stage.apply(
+        variables, jnp.asarray(xs), jnp.asarray(lengths), False
+    )
+
+    w_in = params["Conv1x1_0"]["kernel"]
+    b_in = params["Conv1x1_0"]["bias"]
+    m = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
+    x_proj = (jnp.asarray(xs) @ w_in + b_in) * m[:, :, None]
+    packed = pack_mstcnpp_params(params, L)
+    out, out_len = mstcnpp_stack_pallas_sliced(
+        x_proj, jnp.asarray(lengths), *packed,
+        num_layers=L, pooling_layers=pooling, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_len), np.asarray(ref_len))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_model_forward_mstcnpp_kernel_matches_xla():
+    """create_model(ft.type=mstcnpp) with use_pallas=True (interpret) ==
+    the XLA forward, teacher-forced and free decode."""
+    import numpy as np
+    import jax
+    from tests.test_model import M, NMAX, D, make_sample, small_cfg
+    from mucon_tpu.data import collate_padded
+    from mucon_tpu.models import batch_to_arrays, create_model
+
+    rng = np.random.RandomState(13)
+    samples = [make_sample(rng, 60, 3, "a"), make_sample(rng, 41, 5, "b")]
+    batch = collate_padded(samples, n_max=NMAX, pad_multiple=16)
+
+    def build(flag):
+        cfg = small_cfg()
+        cfg.model.ft.type = "mstcnpp"
+        cfg.tpu.use_pallas = flag
+        return create_model(cfg, num_classes=M, max_decoding_steps=NMAX + 1,
+                            input_feature_size=D)
+
+    base = build(False)
+    kern = build(True)
+    params = base.init_params(jax.random.PRNGKey(0), batch)
+    arrays = batch_to_arrays(batch)
+    for tf in (True, False):
+        f0 = base.forward(params, arrays, train=False, teacher_forcing=tf)
+        f1 = kern.forward(params, arrays, train=False, teacher_forcing=tf)
+        for a, b in zip(jax.tree.leaves(f0), jax.tree.leaves(f1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
