@@ -115,6 +115,9 @@ class MuConModel:
         partitioning) — the fused kernels are batch-local single-device
         programs, so under a data-only mesh each shard can run them on its
         local batch unchanged."""
+        if self.cfg.model.ft.type == "mstcnpp":
+            # eval-only fused stage (ops/mstcnpp_pallas.py); no train kernel
+            return (not train) and resolve_pallas_flag(self.cfg.tpu.use_pallas)
         if self.cfg.model.ft.type != "wavenet":
             return False
         if not resolve_pallas_flag(self.cfg.tpu.use_pallas):
