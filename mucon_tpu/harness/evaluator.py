@@ -196,25 +196,33 @@ class MuConEvaluator:
             and not self.viterbi_multi_length
         )
         if fused:
-            # pipelined: dispatch batch k+2's device program and START the
-            # async d2h copy of its outputs before reading back batch k, so
-            # device compute AND the output transfer overlap the host-side
-            # traceback + metric updates.  Depth 3 + copy_to_host_async
-            # measured 48.9 -> 26.1 ms/batch at B=128 on v5e over the axon
-            # tunnel (scripts/probe_eval_async_tpu.py); a blocking
-            # device_get otherwise pays the full transfer roundtrip per
-            # batch.  Depth 3 keeps at most 2 extra output trees resident
-            # (~0.4 MB each at B=128 — negligible vs the feature batches).
+            # pipelined: dispatch batch k+d's device program and START the
+            # async d2h copy of its outputs right away; consume (traceback +
+            # metric updates) only outputs whose copies have LANDED
+            # (is_ready), so the host never blocks mid-stream while the
+            # device still has work.  Measured on v5e over the axon tunnel
+            # (scripts/probe_eval_async_tpu.py, B=128 Tpad=2560): blocking
+            # device_get 41.7 ms/batch, fixed depth-3 21.0, is_ready drain
+            # 16.3 — within 6% of the 15.4 ms dispatch-only bound.  The
+            # depth cap (tpu.eval_pipeline_depth) bounds resident output
+            # trees (~0.4 MB each at B=128) if the host falls behind.
             from collections import deque
 
             import jax
 
+            max_depth = max(2, int(self.cfg.tpu.eval_pipeline_depth))
             prog = None
             pending: deque = deque()
 
             def _consume_next():
                 b, out = pending.popleft()
                 self._consume_fused(b, jax.device_get(out))
+
+            def _head_ready():
+                return pending and all(
+                    leaf.is_ready()
+                    for leaf in jax.tree.leaves(pending[0][1])
+                )
 
             for batch in self.create_dataloader():
                 arrays = self._batch_arrays(batch)
@@ -224,7 +232,9 @@ class MuConEvaluator:
                 for leaf in jax.tree.leaves(out):
                     leaf.copy_to_host_async()
                 pending.append((batch, out))
-                if len(pending) > 2:
+                while _head_ready():
+                    _consume_next()
+                if len(pending) > max_depth:
                     _consume_next()
             while pending:
                 _consume_next()

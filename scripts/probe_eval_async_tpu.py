@@ -19,6 +19,17 @@ The packed 2-leaf wire + depth-3 async pipeline shipped in
 eval_fused.py/evaluator.py as a result; this probe now runs on the
 packed program.
 
+Round-3 extension (depth-4/6, is_ready drain, grouped device_get),
+measured 2026-08-19 (v5e, packed wire, N_BATCHES=16):
+  A 41.71 (3069 v/s), B 29.73 (4306), B3 20.96 (6107), B4 19.26 (6647),
+  B6 16.65 (7686), E is_ready 16.34 (7834), G grouped-x4 24.60 (5204),
+  C dispatch-only 15.37 (8330).
+The is_ready drain — consume only outputs whose async copies already
+LANDED, block only at a depth cap — reaches 94% of the dispatch-only
+bound and shipped as the evaluator/bench pipeline
+(tpu.eval_pipeline_depth). Grouped device_get LOSES: batching the gets
+serializes consume work behind one big blocking call.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/probe_eval_async_tpu.py
 """
 
@@ -35,7 +46,7 @@ B = 4 if SMALL else 128
 T_MIN, T_MAX = (256, 512) if SMALL else (1500, 2100)
 PAD = 512
 M, D, N_TR = (6, 16, 4) if SMALL else (48, 2048, 6)
-N_BATCHES = 3 if SMALL else 8
+N_BATCHES = 3 if SMALL else 16
 ROUNDS = 1 if SMALL else 2
 
 
@@ -131,6 +142,51 @@ def main():
             consume(jax.device_get(pending.popleft()))
         return (time.perf_counter() - t0) / N_BATCHES * 1e3
 
+    def make_depth(depth):
+        def loop_bd():
+            pending = deque()
+            t0 = time.perf_counter()
+            for _ in range(N_BATCHES):
+                pending.append(fused(params, arrays))
+                start_async(pending[-1])
+                if len(pending) > depth - 1:
+                    consume(jax.device_get(pending.popleft()))
+            while pending:
+                consume(jax.device_get(pending.popleft()))
+            return (time.perf_counter() - t0) / N_BATCHES * 1e3
+        return loop_bd
+
+    def loop_ready():
+        # unbounded depth: consume whatever has LANDED (is_ready) after
+        # each dispatch; drain at the end.  Never blocks mid-stream.
+        pending = deque()
+        t0 = time.perf_counter()
+        for _ in range(N_BATCHES):
+            pending.append(fused(params, arrays))
+            start_async(pending[-1])
+            while pending and all(
+                    l.is_ready() for l in jax.tree.leaves(pending[0])):
+                consume(jax.device_get(pending.popleft()))
+        while pending:
+            consume(jax.device_get(pending.popleft()))
+        return (time.perf_counter() - t0) / N_BATCHES * 1e3
+
+    def loop_group(g=4):
+        # dispatch all with async copies; fetch in groups of g with ONE
+        # device_get call per group (fewer sync roundtrips).
+        pending = deque()
+        t0 = time.perf_counter()
+        for _ in range(N_BATCHES):
+            pending.append(fused(params, arrays))
+            start_async(pending[-1])
+            if len(pending) >= g + 2:
+                grp = [pending.popleft() for _ in range(g)]
+                for o in jax.device_get(grp):
+                    consume(o)
+        while pending:
+            consume(jax.device_get(pending.popleft()))
+        return (time.perf_counter() - t0) / N_BATCHES * 1e3
+
     def loop_c():
         t0 = time.perf_counter()
         last = None
@@ -142,6 +198,10 @@ def main():
     loops = {"A blocking-get pipeline": loop_a,
              "B + copy_to_host_async ": loop_b,
              "B3 async depth-3       ": loop_b3,
+             "B4 async depth-4       ": make_depth(4),
+             "B6 async depth-6       ": make_depth(6),
+             "E is_ready unbounded   ": loop_ready,
+             "G grouped-get x4       ": loop_group,
              "C dispatch-only bound  ": loop_c}
     best = {k: float("inf") for k in loops}
     for _ in range(ROUNDS):
