@@ -233,6 +233,56 @@ def test_standalone_evaluator_builds_own_budget(tmp_path):
     assert len(getattr(evaluator, "_array_cache", {})) < n_batches
 
 
+def test_evaluator_replay_skips_collate_and_matches(tmp_path, monkeypatch):
+    """Once every eval batch's device arrays are cached, later
+    evaluations replay (metadata, arrays) pairs: zero _make_batch calls
+    after the first pass (no disk reads, no pad-collate — measured ~45 s
+    per periodic eval at Breakfast scale, docs/TIMED_RUN.md) and a result
+    IDENTICAL to the streaming pass."""
+    from mucon_tpu.data.batching import PaddedBatchLoader
+
+    calls = {"n": 0}
+    orig = PaddedBatchLoader._make_batch
+
+    def counted(self, idxs):
+        calls["n"] += 1
+        return orig(self, idxs)
+
+    monkeypatch.setattr(PaddedBatchLoader, "_make_batch", counted)
+
+    cfg = _tiny_cfg(tmp_path / "runs", tmp_path / "data")
+    _, model = _build(cfg)
+    test_db = handel_dataset(cfg, train=False)
+    evaluator = MuConEvaluator(cfg, test_db, model)
+    evaluator.viterbi_mode(True)
+    params = model.init_params(__import__("jax").random.PRNGKey(0))
+
+    r1 = evaluator.evaluate(params)
+    n_first = calls["n"]
+    assert n_first == len(evaluator.create_dataloader())
+    assert getattr(evaluator, "_fused_replay", None)
+
+    r2 = evaluator.evaluate(params)
+    assert calls["n"] == n_first  # replayed: dataset never touched
+    assert r1 == r2
+
+
+def test_evaluator_replay_disabled_on_budget_miss(tmp_path):
+    """If any eval batch failed to cache (budget miss), replay must NOT
+    install — a partial replay would skip the streamed batches' fresh
+    arrays; every evaluation keeps streaming and results stay equal."""
+    cfg = _tiny_cfg(tmp_path / "runs", tmp_path / "data")
+    cfg.tpu.cache_budget_gb = 1e-6  # nothing fits
+    _, model = _build(cfg)
+    test_db = handel_dataset(cfg, train=False)
+    evaluator = MuConEvaluator(cfg, test_db, model)
+    params = model.init_params(__import__("jax").random.PRNGKey(0))
+    r1 = evaluator.evaluate(params)
+    assert getattr(evaluator, "_fused_replay", None) is None
+    r2 = evaluator.evaluate(params)
+    assert r1 == r2
+
+
 def test_eval_feats_transfer_dtype(tmp_path):
     """float16 eval wire: arrays arrive f16, evaluation still runs and the
     result is finite (parity-critical runs keep the float32 default)."""
