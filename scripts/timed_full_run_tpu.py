@@ -194,7 +194,10 @@ def main():
             "1268 s observed the same day at the same HEAD); the steady",
             "phases are the reproducible part. The eval-cache reserve",
             "(tpu.cache_budget_eval_gb) cut periodic evals 620 -> 438 s",
-            "and the final eval 67 -> 40 s vs the FCFS-budget run.",
+            "and the final eval 67 -> 40 s vs the FCFS-budget run; the",
+            "evaluator cache REPLAY (evals after the first skip disk +",
+            "collate entirely) cuts every eval after the first to",
+            "device-program + metric time.",
             "",
         ]
     lines += [
