@@ -174,12 +174,16 @@ def get_cfg_defaults() -> ConfigNode:
     # this rig's tunnel, docs/TIMED_RUN.md). 0 = plain FCFS.
     _C.tpu.eval_feats_transfer_dtype = "float32"  # eval feature wire format:
     # "float32" keeps exact metric parity; "float16"/"bfloat16" halve eval
-    # HBM + wire bytes for memory-constrained single-chip runs
+    # HBM + wire bytes for memory-constrained single-chip runs; "int8"
+    # quarters them (per-frame symmetric quantization, see
+    # models/model.py::quantize_feats_int8)
     _C.tpu.feats_transfer_dtype = "auto"  # training feature-transfer wire
     # format: "auto" (= compute dtype: bf16 when bf16, else f32) |
-    # "float32" | "float16" | "bfloat16". Halving the wire bytes ~2x the
-    # h2d-bound first-epoch rate over the tunnel; the device upcasts to
-    # the compute dtype. Eval always transfers f32 (metric parity).
+    # "float32" | "float16" | "bfloat16" | "int8". Halving the wire bytes
+    # ~2x the h2d-bound first-epoch rate over the tunnel; "int8" quarters
+    # wire AND device-cache bytes (lossy: elementwise error <= peak/254;
+    # per-frame scales ride along as a tiny f32 leaf). The device upcasts
+    # to the compute dtype. Eval always transfers f32 (metric parity).
     _C.tpu.use_pallas = "auto"  # fused Pallas kernels (eval path: v2 stack
     # encoder + in-kernel Viterbi DP — validated faster than XLA on v5e).
     # "auto" = on for accelerator backends, off on CPU; True forces the

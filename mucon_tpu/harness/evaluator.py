@@ -273,9 +273,11 @@ class MuConEvaluator:
             import jax.numpy as jnp
 
             return jnp.dtype(t)
+        if t == "int8":  # quantized wire (models/model.py)
+            return "int8"
         raise ValueError(
             f"Invalid tpu.eval_feats_transfer_dtype {t!r} "
-            "(use 'float32'|'float16'|'bfloat16')"
+            "(use 'float32'|'float16'|'bfloat16'|'int8')"
         )
 
     def _make_arrays(self, batch: PaddedBatch) -> dict:

@@ -150,10 +150,14 @@ class SimpleTrainer:
             self._feats_dtype = None
         elif transfer in ("float16", "bfloat16"):
             self._feats_dtype = jnp.dtype(transfer)
+        elif transfer == "int8":
+            # quantized wire: 1/4 the f32 bytes on the wire AND in the
+            # device-resident cache (models/model.py::quantize_feats_int8)
+            self._feats_dtype = "int8"
         else:
             raise ValueError(
                 f"Invalid tpu.feats_transfer_dtype {transfer!r} "
-                "(use 'auto'|'float32'|'float16'|'bfloat16')"
+                "(use 'auto'|'float32'|'float16'|'bfloat16'|'int8')"
             )
 
         # multi-device SPMD (tpu.mesh.enable): params replicated, batches

@@ -141,6 +141,7 @@ class MuConModel:
     ) -> MuConForwardOut:
         tf = self.teacher_forcing if teacher_forcing is None else teacher_forcing
         rngs = {"dropout": rng} if (train and rng is not None) else None
+        batch_arrays = dequantize_feats(batch_arrays)
 
         z = tz = None
         if use_pallas is None:
@@ -485,9 +486,59 @@ def _log_softmax_np(x: np.ndarray) -> np.ndarray:
     return x - m - s
 
 
+def quantize_feats_int8(feats):
+    """Per-frame symmetric int8 quantization of [... x T x D] features:
+    scale[..., t] = max|feats[..., t, :]| / 127, q = rint(f / scale).
+    Returns (q int8, scale float32[... x T]).  Elementwise error is
+    bounded by scale/2 = max|frame| / 254 (~0.2% of the frame's peak) —
+    far below the feature noise the model trains through (dropout .25);
+    the wire/cache cost is 1/4 of f32, 1/2 of f16 + one tiny scale
+    array.  A lossy opt-in knob, like the f16 wires; f32 stays the
+    parity default."""
+    scale = np.abs(feats).max(axis=-1) / 127.0
+    scale = np.maximum(scale, 1e-12).astype(np.float32)
+    q = np.rint(feats / scale[..., None])
+    q = np.clip(q, -127, 127).astype(np.int8)
+    return q, scale
+
+
+def dequantize_feats(batch_arrays: dict) -> dict:
+    """Inverse of the int8 feature wire: rebuild float32 feats from
+    (int8 q, per-frame scale) at the top of forward().  XLA fuses the
+    cast+multiply into the in-projection matmul's producer, so the
+    dequant costs no extra HBM round-trip.  No-op for float wires."""
+    if "feats_scale" not in batch_arrays:
+        return batch_arrays
+    out = dict(batch_arrays)
+    scale = out.pop("feats_scale")
+    out["feats"] = out["feats"].astype(jnp.float32) * scale[..., None]
+    return out
+
+
 def batch_to_host_arrays(batch: PaddedBatch, feats_dtype=None) -> dict:
-    """Host (numpy) dict view of a PaddedBatch — the canonical key set."""
-    feats = batch.feats if feats_dtype is None else batch.feats.astype(feats_dtype)
+    """Host (numpy) dict view of a PaddedBatch — the canonical key set.
+    `feats_dtype="int8"` selects the quantized wire (adds a
+    `feats_scale` key; see quantize_feats_int8)."""
+    scale = None
+    if feats_dtype == "int8" or feats_dtype is np.int8:
+        feats, scale = quantize_feats_int8(batch.feats)
+    elif feats_dtype is None:
+        feats = batch.feats
+    else:
+        feats = batch.feats.astype(feats_dtype)
+    if scale is not None:
+        return dict(
+            feats=feats,
+            feats_scale=scale,
+            num_frames=batch.num_frames,
+            gt_label=batch.gt_label,
+            transcript=batch.transcript,
+            transcript_len=batch.transcript_len,
+            tf_input=batch.tf_input,
+            tf_target=batch.tf_target,
+            absolute_lengths=batch.absolute_lengths,
+            fully_supervised=batch.fully_supervised,
+        )
     return dict(
         feats=feats,
         num_frames=batch.num_frames,

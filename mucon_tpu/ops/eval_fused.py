@@ -153,21 +153,34 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
         from mucon_tpu.parallel.mesh import batch_specs, mesh_is_data_only
 
         assert mesh_is_data_only(mesh), dict(mesh.shape)
-        specs = batch_specs()
-        sharded_run = jax.shard_map(
-            run,
-            mesh=mesh,
-            in_specs=(P(), {k: specs[k] for k in specs}),
-            out_specs={"y_argmax": P("data"), "wire": P("data")},
-            check_vma=False,  # pallas_call carries no varying-axis rule
-        )
-        return jax.jit(
-            sharded_run,
-            in_shardings=(
-                NamedSharding(mesh, P()),
-                {k: NamedSharding(mesh, specs[k]) for k in specs},
-            ),
-        )
+        # built lazily per arrays-key-set: the int8 quantized wire adds a
+        # feats_scale leaf and shard_map in_specs must match the pytree
+        built = {}
+
+        def _build(array_keys):
+            specs = {k: batch_specs()[k] for k in array_keys}
+            sharded_run = jax.shard_map(
+                run,
+                mesh=mesh,
+                in_specs=(P(), specs),
+                out_specs={"y_argmax": P("data"), "wire": P("data")},
+                check_vma=False,  # pallas_call carries no varying-axis rule
+            )
+            return jax.jit(
+                sharded_run,
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    {k: NamedSharding(mesh, s) for k, s in specs.items()},
+                ),
+            )
+
+        def call(params, arrays):
+            key = frozenset(arrays)
+            if key not in built:
+                built[key] = _build(sorted(arrays))
+            return built[key](params, arrays)
+
+        return call
 
     return jax.jit(run)
 

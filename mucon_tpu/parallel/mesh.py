@@ -102,6 +102,7 @@ def batch_specs() -> dict:
     """PartitionSpecs for the PaddedBatch array dict."""
     return dict(
         feats=P("data", "seq", None),
+        feats_scale=P("data", "seq"),  # int8 wire (quantize_feats_int8)
         num_frames=P("data"),
         gt_label=P("data", "seq"),
         transcript=P("data", None),
@@ -145,7 +146,9 @@ def pad_batch_to_multiple(arrays: dict, multiple: int) -> dict:
     return out
 
 
-def _make_shardmap_grad_fn(model, mesh: Mesh, teacher_forcing: bool):
+def _make_shardmap_grad_fn(
+    model, mesh: Mesh, teacher_forcing: bool, array_keys
+):
     """Per-shard grad computation over the "data" axis: each shard runs the
     normal single-device forward (INCLUDING the fused Pallas kernels — the
     round-2 mesh path forced XLA) on its local batch, then pmean-combines
@@ -153,6 +156,7 @@ def _make_shardmap_grad_fn(model, mesh: Mesh, teacher_forcing: bool):
     (losses.py:214), so the pmean of equal-size shard means equals the
     global mean."""
     specs = batch_specs()
+    specs = {k: specs[k] for k in array_keys}
 
     def local_grads(params, rng, arrays):
         # decorrelate dropout across data shards; with dropout off this is
@@ -198,18 +202,46 @@ def make_sharded_train_step(
     * seq/model sharding (or kernels off) -> GSPMD: XLA partitions the
       un-fused stack from the sharding annotations (halo exchanges and
       channel collectives inserted automatically).
+
+    The jitted step is built lazily per arrays-key-set: the batch dict's
+    keys depend on the wire format (the int8 quantized wire adds a
+    `feats_scale` leaf), and jit in_shardings / shard_map in_specs must
+    match the pytree exactly.
     """
     repl = NamedSharding(mesh, P())
-    arr_shardings = {
-        k: NamedSharding(mesh, spec) for k, spec in batch_specs().items()
-    }
+    shardmap = mesh_is_data_only(mesh) and model.kernels_active(train=True)
+    logger.info(
+        "sharded train step: shard_map over data axis "
+        f"(n_data={mesh.shape['data']}), per-shard Pallas kernels active"
+        if shardmap
+        else "sharded train step: GSPMD (mesh "
+        f"{dict(mesh.shape)}), XLA-partitioned forward"
+    )
+    built = {}
 
-    if mesh_is_data_only(mesh) and model.kernels_active(train=True):
-        logger.info(
-            "sharded train step: shard_map over data axis "
-            f"(n_data={mesh.shape['data']}), per-shard Pallas kernels active"
-        )
-        grad_fn = _make_shardmap_grad_fn(model, mesh, teacher_forcing)
+    def _build(array_keys):
+        arr_shardings = {
+            k: NamedSharding(mesh, batch_specs()[k]) for k in array_keys
+        }
+
+        if shardmap:
+            grad_fn = _make_shardmap_grad_fn(
+                model, mesh, teacher_forcing, array_keys
+            )
+
+            @partial(
+                jax.jit,
+                donate_argnums=(0, 1),
+                in_shardings=(None, None, repl, arr_shardings),
+                out_shardings=(None, None, None),
+            )
+            def step(params, opt_state, rng, arrays):
+                grads, loss = grad_fn(params, rng, arrays)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+
+            return step
 
         @partial(
             jax.jit,
@@ -218,39 +250,29 @@ def make_sharded_train_step(
             out_shardings=(None, None, None),
         )
         def step(params, opt_state, rng, arrays):
-            grads, loss = grad_fn(params, rng, arrays)
+            def loss_fn(p):
+                # use_pallas=False: the fused kernels are single-device
+                # programs; under GSPMD the XLA stack shards/halo-exchanges
+                # automatically
+                fwd = model.forward(
+                    p, arrays, rng=rng, train=True,
+                    teacher_forcing=teacher_forcing, use_pallas=False,
+                )
+                loss = model.loss(fwd, arrays, teacher_forcing=teacher_forcing)
+                return loss.main, loss
+
+            grads, loss = jax.grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
         return step
 
-    logger.info(
-        "sharded train step: GSPMD (mesh "
-        f"{dict(mesh.shape)}), XLA-partitioned forward"
-    )
-
-    @partial(
-        jax.jit,
-        donate_argnums=(0, 1),
-        in_shardings=(None, None, repl, arr_shardings),
-        out_shardings=(None, None, None),
-    )
     def step(params, opt_state, rng, arrays):
-        def loss_fn(p):
-            # use_pallas=False: the fused kernels are single-device programs;
-            # under GSPMD the XLA stack shards/halo-exchanges automatically
-            fwd = model.forward(
-                p, arrays, rng=rng, train=True, teacher_forcing=teacher_forcing,
-                use_pallas=False,
-            )
-            loss = model.loss(fwd, arrays, teacher_forcing=teacher_forcing)
-            return loss.main, loss
-
-        grads, loss = jax.grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        key = frozenset(arrays)
+        if key not in built:
+            built[key] = _build(sorted(arrays))
+        return built[key](params, opt_state, rng, arrays)
 
     return step
 
@@ -262,19 +284,41 @@ def make_sharded_grad_step(
     accumulate_grad_every: int,
 ):
     """jitted (params, acc, rng, arrays) -> (acc, loss) with sharded batches
-    — the gradient-accumulation counterpart of make_sharded_train_step."""
+    — the gradient-accumulation counterpart of make_sharded_train_step.
+    Built lazily per arrays-key-set (see make_sharded_train_step)."""
     repl = NamedSharding(mesh, P())
-    arr_shardings = {
-        k: NamedSharding(mesh, spec) for k, spec in batch_specs().items()
-    }
     k = float(accumulate_grad_every)
-
-    if mesh_is_data_only(mesh) and model.kernels_active(train=True):
+    shardmap = mesh_is_data_only(mesh) and model.kernels_active(train=True)
+    if shardmap:
         logger.info(
             "sharded grad step: shard_map over data axis "
             f"(n_data={mesh.shape['data']}), per-shard Pallas kernels active"
         )
-        grad_fn = _make_shardmap_grad_fn(model, mesh, teacher_forcing)
+    built = {}
+
+    def _build(array_keys):
+        arr_shardings = {
+            k2: NamedSharding(mesh, batch_specs()[k2]) for k2 in array_keys
+        }
+
+        if shardmap:
+            grad_fn = _make_shardmap_grad_fn(
+                model, mesh, teacher_forcing, array_keys
+            )
+
+            @partial(
+                jax.jit,
+                donate_argnums=(1,),
+                in_shardings=(None, None, repl, arr_shardings),
+            )
+            def grad_step(params, acc, rng, arrays):
+                grads, loss = grad_fn(params, rng, arrays)
+                acc = jax.tree.map(
+                    lambda a, g: a + g / k, acc, grads
+                )
+                return acc, loss
+
+            return grad_step
 
         @partial(
             jax.jit,
@@ -282,46 +326,52 @@ def make_sharded_grad_step(
             in_shardings=(None, None, repl, arr_shardings),
         )
         def grad_step(params, acc, rng, arrays):
-            grads, loss = grad_fn(params, rng, arrays)
-            acc = jax.tree.map(
-                lambda a, g: a + g / k, acc, grads
-            )
+            def loss_fn(p):
+                fwd = model.forward(
+                    p, arrays, rng=rng, train=True,
+                    teacher_forcing=teacher_forcing, use_pallas=False,
+                )
+                loss = model.loss(fwd, arrays, teacher_forcing=teacher_forcing)
+                return loss.main / k, loss
+
+            grads, loss = jax.grad(loss_fn, has_aux=True)(params)
+            acc = jax.tree.map(jnp.add, acc, grads)
             return acc, loss
 
         return grad_step
 
-    @partial(
-        jax.jit,
-        donate_argnums=(1,),
-        in_shardings=(None, None, repl, arr_shardings),
-    )
     def grad_step(params, acc, rng, arrays):
-        def loss_fn(p):
-            fwd = model.forward(
-                p, arrays, rng=rng, train=True, teacher_forcing=teacher_forcing,
-                use_pallas=False,
-            )
-            loss = model.loss(fwd, arrays, teacher_forcing=teacher_forcing)
-            return loss.main / k, loss
-
-        grads, loss = jax.grad(loss_fn, has_aux=True)(params)
-        acc = jax.tree.map(jnp.add, acc, grads)
-        return acc, loss
+        key = frozenset(arrays)
+        if key not in built:
+            built[key] = _build(sorted(arrays))
+        return built[key](params, acc, rng, arrays)
 
     return grad_step
 
 
 def make_sharded_forward(model, mesh: Mesh, teacher_forcing: bool = False):
-    """jitted sharded inference forward (for evaluation at scale)."""
-    arr_shardings = {
-        k: NamedSharding(mesh, spec) for k, spec in batch_specs().items()
-    }
+    """jitted sharded inference forward (for evaluation at scale).
+    Built lazily per arrays-key-set (see make_sharded_train_step)."""
+    built = {}
 
-    @partial(jax.jit, in_shardings=(None, arr_shardings))
+    def _build(array_keys):
+        arr_shardings = {
+            k: NamedSharding(mesh, batch_specs()[k]) for k in array_keys
+        }
+
+        @partial(jax.jit, in_shardings=(None, arr_shardings))
+        def fwd(params, arrays):
+            return model.forward(
+                params, arrays, train=False, teacher_forcing=teacher_forcing,
+                use_pallas=False,
+            )
+
+        return fwd
+
     def fwd(params, arrays):
-        return model.forward(
-            params, arrays, train=False, teacher_forcing=teacher_forcing,
-            use_pallas=False,
-        )
+        key = frozenset(arrays)
+        if key not in built:
+            built[key] = _build(sorted(arrays))
+        return built[key](params, arrays)
 
     return fwd
