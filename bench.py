@@ -229,8 +229,13 @@ def main():
     # (this rig's tunnel is ~100-250 MB/s; real-metal PCIe overlaps the
     # transfer behind compute entirely via tpu.device_prefetch).
     host_feats16 = host_feats.astype(np.float16)
+    # third variant: the int8 quantized wire (tpu.feats_transfer_dtype=
+    # int8) — 1/4 the f32 bytes; the per-frame scale leaf rides along
+    from mucon_tpu.models.model import quantize_feats_int8
 
-    def measure_h2d(payload):
+    host_q, host_scale = quantize_feats_int8(host_feats)
+
+    def measure_h2d(payload, scale=None):
         nonlocal params, opt_state, key
         dts = []
         for i in range(steps_h2d):
@@ -238,6 +243,8 @@ def main():
             t0 = time.perf_counter()
             a = dict(arrays)
             a["feats"] = jax.device_put(payload)
+            if scale is not None:
+                a["feats_scale"] = jax.device_put(scale)
             params, opt_state = train_step(params, opt_state, k, a)
             sync(params)
             dts.append(time.perf_counter() - t0)
@@ -245,6 +252,7 @@ def main():
 
     train_vps_h2d = measure_h2d(host_feats)
     train_vps_h2d_f16 = measure_h2d(host_feats16)
+    train_vps_h2d_int8 = measure_h2d(host_q, host_scale)
 
     # secondary: bf16 compute (validated convergence; see CLAUDE.md) —
     # same K-step scan with a bf16 model from the same init
@@ -382,6 +390,9 @@ def main():
                 "train_videos_per_sec_with_h2d": round(train_vps_h2d, 3),
                 "train_videos_per_sec_with_h2d_f16": round(
                     train_vps_h2d_f16, 3
+                ),
+                "train_videos_per_sec_with_h2d_int8": round(
+                    train_vps_h2d_int8, 3
                 ),
                 "train_videos_per_sec_bf16": (
                     round(bf16_vps, 3) if bf16_vps else None
