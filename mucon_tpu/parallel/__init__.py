@@ -1,3 +1,10 @@
+from mucon_tpu.parallel.multihost import (
+    init_distributed,
+    is_coordinator,
+    make_multihost_mesh,
+    process_batch_slice,
+    shard_batch_arrays_multihost,
+)
 from mucon_tpu.parallel.mesh import (
     batch_specs,
     make_mesh,
@@ -22,4 +29,9 @@ __all__ = [
     "shard_params",
     "make_sharded_train_step",
     "make_sharded_forward",
+    "init_distributed",
+    "is_coordinator",
+    "make_multihost_mesh",
+    "process_batch_slice",
+    "shard_batch_arrays_multihost",
 ]

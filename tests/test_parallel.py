@@ -560,3 +560,74 @@ def test_long_sequence_seq_parallel_step():
     arrays = shard_batch_arrays(mesh, batch_to_arrays(batch))
     _, _, loss = step(params, opt_state, jax.random.PRNGKey(1), arrays)
     assert np.isfinite(float(loss.main))
+
+
+# ---------------------------------------------------------------------------
+# Multi-host surface (parallel/multihost.py).  Single-process runs must be
+# bitwise-identical to the mesh.py path — that is the contract that lets the
+# whole trainer stack run unchanged on a multihost mesh.
+# ---------------------------------------------------------------------------
+
+
+def test_multihost_single_process_noop_and_mesh_equality():
+    from mucon_tpu.parallel import (
+        init_distributed,
+        is_coordinator,
+        make_multihost_mesh,
+        process_batch_slice,
+    )
+
+    assert init_distributed() == (0, 1)  # no env, no args -> no-op
+    assert is_coordinator()
+    for shape in [(8, 1, 1), (4, 2, 1), (2, 2, 2)]:
+        mh = make_multihost_mesh(*shape)
+        ref = make_mesh(*shape)
+        assert mh.shape == ref.shape
+        assert [d.id for d in mh.devices.flat] == [
+            d.id for d in ref.devices.flat
+        ]
+    assert process_batch_slice(16, make_multihost_mesh(8)) == slice(0, 16)
+
+
+@pytest.mark.parametrize("feats_dtype", [None, "int8"])
+def test_multihost_batch_assembly_matches_device_put(setup, feats_dtype):
+    """make_array_from_process_local_data with one process must equal the
+    device_put path bitwise, for the f32 AND the quantized int8 wire."""
+    from mucon_tpu.parallel import shard_batch_arrays_multihost
+
+    cfg, model, params, batch = setup
+    arrays = (
+        batch_to_arrays(batch, feats_dtype=feats_dtype)
+        if feats_dtype
+        else batch_to_arrays(batch)
+    )
+    mesh = make_mesh(4, 2)
+    a = shard_batch_arrays(mesh, arrays)
+    b = shard_batch_arrays_multihost(mesh, arrays)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].shape == b[k].shape, k
+        assert a[k].dtype == b[k].dtype, k
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
+
+
+def test_multihost_train_step_matches_mesh_path(setup):
+    """A full sharded train step fed by the multihost batch assembly must
+    produce the identical loss to the device_put-fed step."""
+    from mucon_tpu.parallel import shard_batch_arrays_multihost
+
+    cfg, model, params, batch = setup
+    arrays = batch_to_arrays(batch)
+    mesh = make_mesh(8, 1)
+    tx = create_optimizer(cfg, model.param_partition(params))
+
+    def run(shard_fn):
+        params_in = jax.tree.map(jnp.array, params)
+        opt_state = tx.init(params_in)
+        step = make_sharded_train_step(model, tx, mesh, teacher_forcing=True)
+        _, _, loss = step(
+            params_in, opt_state, jax.random.PRNGKey(7), shard_fn(mesh, arrays)
+        )
+        return float(loss.main)
+
+    assert run(shard_batch_arrays) == run(shard_batch_arrays_multihost)
