@@ -221,6 +221,10 @@ def get_cfg_defaults() -> ConfigNode:
     _C.tpu.mesh.seq = 1  # sequence-parallel axis (halo-exchange conv)
     _C.tpu.mesh.model = 1  # tensor-parallel axis (conv-stack channels
     # sharded via parallel.mesh.param_specs; GSPMD inserts collectives)
+    _C.tpu.mesh.multihost = False  # multi-process (multi-host) run: init
+    # jax.distributed, build a DCN x ICI hybrid mesh (process dim on the
+    # data axis), load per-process batch rows, gate run-folder writes on
+    # process 0 (parallel/multihost.py). Single process: identical math.
     _C.tpu.scan_unroll = "auto"  # lax.scan/nn.scan unroll factor for the
     # sequential scans (BiLSTM encoder over Tz=T/16 steps, teacher-forced
     # decoder over S steps). They carry tiny [B x H] recurrences that

@@ -164,10 +164,26 @@ class SimpleTrainer:
         # sharded over ("data", "seq"), gradient psum inserted by XLA —
         # the scale-out capability the reference lacks (SURVEY.md §2.12)
         self.mesh = None
-        if cfg.tpu.mesh.enable and len(jax.devices()) > 1:
-            from mucon_tpu.parallel.mesh import mesh_from_config
+        self._multihost = bool(getattr(cfg.tpu.mesh, "multihost", False))
+        if cfg.tpu.mesh.enable and (
+            self._multihost or len(jax.devices()) > 1
+        ):
+            if self._multihost:
+                from mucon_tpu.parallel.multihost import (
+                    init_distributed,
+                    make_multihost_mesh,
+                )
 
-            self.mesh = mesh_from_config(cfg)
+                init_distributed()
+                self.mesh = make_multihost_mesh(
+                    cfg.tpu.mesh.data,
+                    cfg.tpu.mesh.seq,
+                    int(getattr(cfg.tpu.mesh, "model", 1)),
+                )
+            else:
+                from mucon_tpu.parallel.mesh import mesh_from_config
+
+                self.mesh = mesh_from_config(cfg)
             n_data = self.mesh.shape["data"]
             if self.cfg.tpu.batch_size % n_data != 0:
                 raise ValueError(
@@ -235,6 +251,19 @@ class SimpleTrainer:
         from mucon_tpu.parallel.mesh import shard_batch_arrays
 
         host = batch_to_host_arrays(batch, feats_dtype=self._feats_dtype)
+        if self._multihost and jax.process_count() > 1:
+            # each host moves only ITS rows of the global batch; the
+            # loaders are seed-identical across processes so every
+            # process sees the same global batch order
+            from mucon_tpu.parallel.multihost import (
+                process_batch_slice,
+                shard_batch_arrays_multihost,
+            )
+
+            sl = process_batch_slice(host["num_frames"].shape[0], self.mesh)
+            return shard_batch_arrays_multihost(
+                self.mesh, {k: v[sl] for k, v in host.items()}
+            )
         return shard_batch_arrays(self.mesh, host)
 
     def _batch_arrays(self, batch) -> dict:
@@ -505,6 +534,16 @@ class SimpleTrainer:
         return folder
 
     def save_training(self) -> None:
+        if self._multihost:
+            # one writer per run folder: non-coordinator processes skip
+            # checkpointing.  Valid for data/seq meshes (params replicated,
+            # so the coordinator's local devices hold every leaf in full);
+            # multihost + model-sharded params would need the local shards
+            # reassembled per process before a single-writer save.
+            from mucon_tpu.parallel.multihost import is_coordinator
+
+            if not is_coordinator():
+                return
         state = {
             "epoch_num": self.epoch_num,
             "iter_num": self.iter_num,

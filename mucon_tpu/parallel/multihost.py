@@ -38,6 +38,13 @@ in docs/ARCHITECTURE.md):
 5. gate run-folder writes (checkpoints, logs, metric series) on
    `is_coordinator()`; metrics from the jitted step are already
    fully-replicated scalars, identical on every process.
+
+Evaluation at multihost scale: each process evaluates ITS slice of the
+test split (the d2h wire only carries a process's addressable shards)
+and the segmentation metrics are running counts / per-video sums, so
+merging is plain addition on the coordinator; alternatively run the
+full evaluator on the coordinator only — at the measured fused-eval
+rates one chip evaluates a Breakfast split in seconds.
 """
 
 from __future__ import annotations

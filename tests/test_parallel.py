@@ -631,3 +631,60 @@ def test_multihost_train_step_matches_mesh_path(setup):
         return float(loss.main)
 
     assert run(shard_batch_arrays) == run(shard_batch_arrays_multihost)
+
+
+def test_trainer_multihost_single_process_matches_mesh(tmp_path):
+    """tpu.mesh.multihost on a single process must be byte-for-byte the
+    plain mesh path: same mesh, same first-step loss, checkpoints written
+    (this process IS the coordinator)."""
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import SimpleTrainer
+
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(tmp_path / "data")
+    cfg.dataset.synthetic.num_videos = 8
+    cfg.dataset.synthetic.num_classes = 6
+    cfg.dataset.synthetic.feat_dim = 16
+    cfg.dataset.synthetic.min_len = 100
+    cfg.dataset.synthetic.max_len = 260
+    cfg.trainer.root = str(tmp_path / "runs")
+    cfg.trainer.num_epochs = 1
+    cfg.trainer.save_every = 1
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    cfg.model.ft.dropout_rate = 0.0
+    cfg.model.ft.last_dropout_rate = 0.0
+    cfg.model.fs.decoder.embedding_dropout = 0.0
+    cfg.tpu.batch_size = 2
+    cfg.tpu.pad_multiple = 64
+
+    train_db = handel_dataset(cfg, train=True)
+    model = create_model(cfg, train_db.get_num_classes(),
+                         train_db.max_transcript_length + 1, train_db.feat_dim)
+
+    import json
+
+    losses = {}
+    for mode in ("mesh", "multihost"):
+        c = cfg.clone()
+        c.tpu.mesh.enable = True
+        c.tpu.mesh.data = 2
+        c.tpu.mesh.multihost = mode == "multihost"
+        t = SimpleTrainer(c, f"mh_{mode}", train_db, model)
+        assert t.mesh is not None and t.mesh.shape["data"] == 2
+        t.train()
+        t.wait_for_save()
+        assert (t.run_folder / "checkpoints").exists()
+        events = [
+            json.loads(l)
+            for l in open(t.run_folder / "events.jsonl")
+            if json.loads(l)["kind"] == "train"
+        ]
+        losses[mode] = events[0]["main"]
+
+    assert losses["multihost"] == losses["mesh"]
