@@ -180,8 +180,10 @@ def test_f16_feature_transfer_trains_close(setup):
 
 
 def test_invalid_transfer_dtype_rejected(setup):
+    # int8 became a VALID wire format (quantized wire); a genuinely
+    # unknown dtype string must still be rejected loudly at init
     cfg, train_db, _, model = setup
     cfg = cfg.clone()
-    cfg.tpu.feats_transfer_dtype = "int8"
+    cfg.tpu.feats_transfer_dtype = "int4"
     with pytest.raises(ValueError):
         SimpleTrainer(cfg, "bad_dtype", train_db, model)
