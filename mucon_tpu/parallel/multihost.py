@@ -129,9 +129,20 @@ def make_multihost_mesh(
     assert (n_data // n_proc) * n_seq * n_model == n_local, (
         n_data, n_seq, n_model, n_proc, n_local,
     )
+    # Granule choice: `create_hybrid_device_mesh` defaults to slice_index
+    # granules, which only exist on multi-slice TPU pods (one process per
+    # slice).  Multi-host runs WITHIN one slice — and the multi-process CPU
+    # backend used to test this path without hardware — have a single (or
+    # no) slice_index, so fall back to process granules there; the layout
+    # contract is the same either way: each process's devices form one
+    # contiguous block of the "data" axis (process_batch_slice relies on
+    # this for addressable-shard assembly).
+    slice_ids = {getattr(d, "slice_index", None) for d in jax.devices()}
+    by_process = None in slice_ids or len(slice_ids) != n_proc
     grid = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(n_data // n_proc, n_seq, n_model),
         dcn_mesh_shape=(n_proc, 1, 1),
+        process_is_granule=by_process,
     )
     return Mesh(grid, ("data", "seq", "model"))
 

@@ -688,3 +688,77 @@ def test_trainer_multihost_single_process_matches_mesh(tmp_path):
         losses[mode] = events[0]["main"]
 
     assert losses["multihost"] == losses["mesh"]
+
+
+def test_multihost_two_process_train_step(setup, tmp_path):
+    """REAL multi-controller run: two OS processes join jax.distributed
+    over localhost (4 virtual CPU devices each -> one 8-device global
+    mesh, cross-process collectives over Gloo), each materializes only
+    ITS rows of the global batch, and both run one sharded train step.
+
+    Asserts the multi-process contract end-to-end without pod hardware:
+    every process sees the identical replicated loss/params (the grad
+    pmean crossed the process boundary), and the result matches the
+    single-process 8-device mesh step run in THIS process to float
+    tolerance (cross-process reduction order may differ)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    cfg, model, params, batch = setup
+    arrays = batch_to_arrays(batch)
+
+    # single-process reference on the same 8-device data mesh
+    mesh = make_mesh(8, 1)
+    tx = create_optimizer(cfg, model.param_partition(params))
+    params_in = jax.tree.map(jnp.array, params)
+    opt_state = tx.init(params_in)
+    step = make_sharded_train_step(model, tx, mesh, teacher_forcing=True)
+    ref_params, _, ref_loss = step(
+        params_in, opt_state, jax.random.PRNGKey(7),
+        shard_batch_arrays(mesh, arrays),
+    )
+    ref_loss = float(ref_loss.main)
+    ref_checksum = float(sum(
+        float(np.abs(np.asarray(l)).sum()) for l in jax.tree.leaves(ref_params)
+    ))
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(Path(__file__).resolve().parents[1]), env.get("PYTHONPATH", "")]
+    )
+    worker = str(Path(__file__).resolve().parent / "multihost_worker.py")
+    outs = [str(tmp_path / f"mh_{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    for r in results:
+        assert r["process_count"] == 2
+        assert r["global_devices"] == 8 and r["local_devices"] == 4
+    assert results[0]["rows"] == [0, 4] and results[1]["rows"] == [4, 8]
+    # both processes computed the identical replicated result
+    assert results[0]["loss"] == results[1]["loss"]
+    assert results[0]["param_checksum"] == results[1]["param_checksum"]
+    # and it is the single-process math (reduction order may differ)
+    assert results[0]["loss"] == pytest.approx(ref_loss, rel=2e-4)
+    assert results[0]["param_checksum"] == pytest.approx(ref_checksum, rel=2e-4)
