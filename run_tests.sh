@@ -6,7 +6,7 @@
 # Tiers (VERDICT r2 #5): the CPU interpret-mode Pallas oracle tests are
 # marked `interpret` and dominate the suite's wall time on this 1-CPU box.
 #   ./run_tests.sh           # full suite (default: everything on)
-#   FAST=1 ./run_tests.sh    # fast tier only (-m "not interpret")
+#   FAST=1 ./run_tests.sh    # fast tier only (skips interpret + slow markers)
 #   INTERPRET=1 ./run_tests.sh  # the slow oracle tier alone
 export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
@@ -15,7 +15,7 @@ if [ $# -eq 0 ]; then
   set -- tests/ -q
 fi
 if [ -n "$FAST" ]; then
-  set -- "$@" -m "not interpret"
+  set -- "$@" -m "not interpret and not slow"
 elif [ -n "$INTERPRET" ]; then
   set -- "$@" -m interpret
 fi

@@ -1,14 +1,22 @@
-"""Worker process for the REAL multi-process multihost test.
+"""Worker process for the REAL multi-process multihost tests.
 
-Spawned by tests/test_parallel.py::test_multihost_two_process_train_step —
-NOT collected by pytest.  Each worker is one jax "host": it joins the
-distributed runtime (jax.distributed over localhost, Gloo collectives on
-the CPU backend), builds the global mesh with make_multihost_mesh, pads
-and moves ONLY ITS OWN rows of the deterministic global batch
-(process_batch_slice + shard_batch_arrays_multihost), runs one sharded
-train step, and writes the replicated loss + a parameter checksum to a
-JSON file for the parent to compare across processes and against the
-single-process 8-device reference.
+Spawned by tests/test_parallel.py (NOT collected by pytest).  Each worker
+is one jax "host": it joins the distributed runtime (jax.distributed over
+localhost, Gloo collectives on the CPU backend) and exercises one of two
+modes:
+
+* ``step`` — builds the global mesh with make_multihost_mesh, pads and
+  moves ONLY ITS OWN rows of the deterministic global batch
+  (process_batch_slice + shard_batch_arrays_multihost), runs one sharded
+  train step, and writes the replicated loss + a parameter checksum for
+  the parent to compare across processes and against the single-process
+  8-device reference.
+* ``trainer`` — runs a full 1-epoch SimpleTrainer with
+  ``tpu.mesh.multihost=true`` on a shared synthetic dataset (the parent
+  pre-generates it; loaders are seed-identical across processes, the
+  multihost contract), proving the trainer-level integration: per-process
+  batch-row slicing, replicated metrics, and coordinator-only
+  checkpointing.
 
 This is the multi-controller SPMD contract from parallel/multihost.py's
 docstring exercised end-to-end without TPU pod hardware — the same
@@ -22,34 +30,20 @@ import sys
 import numpy as np
 
 
-def main() -> None:
-    process_id = int(sys.argv[1])
-    num_processes = int(sys.argv[2])
-    port = sys.argv[3]
-    out_path = sys.argv[4]
-
+def run_step_mode(out_path: str) -> None:
     import jax
     import jax.numpy as jnp
-
-    from mucon_tpu.parallel.multihost import (
-        init_distributed,
-        is_coordinator,
-        make_multihost_mesh,
-        process_batch_slice,
-        shard_batch_arrays_multihost,
-    )
-
-    init_distributed(
-        f"localhost:{port}",
-        num_processes=num_processes,
-        process_id=process_id,
-    )
-    assert jax.process_count() == num_processes
-    assert is_coordinator() == (process_id == 0)
 
     from mucon_tpu.data import collate_padded
     from mucon_tpu.harness.optim import create_optimizer
     from mucon_tpu.models import create_model
+    from mucon_tpu.models.model import batch_to_host_arrays
+    from mucon_tpu.parallel import make_sharded_train_step
+    from mucon_tpu.parallel.multihost import (
+        make_multihost_mesh,
+        process_batch_slice,
+        shard_batch_arrays_multihost,
+    )
     from tests.test_model import D, M, NMAX, make_sample, small_cfg
 
     # identical deterministic setup on every process (seed-identical
@@ -64,15 +58,11 @@ def main() -> None:
     params = model.init_params(jax.random.PRNGKey(0), batch)
 
     mesh = make_multihost_mesh(jax.device_count())
-    from mucon_tpu.models.model import batch_to_host_arrays
-
     host = batch_to_host_arrays(batch)
     sl = process_batch_slice(host["num_frames"].shape[0], mesh)
     arrays = shard_batch_arrays_multihost(
         mesh, {k: v[sl] for k, v in host.items()}
     )
-
-    from mucon_tpu.parallel import make_sharded_train_step
 
     tx = create_optimizer(cfg, model.param_partition(params))
     params_in = jax.tree.map(jnp.array, params)
@@ -88,7 +78,7 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(
             {
-                "process": process_id,
+                "process": jax.process_index(),
                 "process_count": jax.process_count(),
                 "global_devices": jax.device_count(),
                 "local_devices": jax.local_device_count(),
@@ -98,6 +88,76 @@ def main() -> None:
             },
             f,
         )
+
+
+def run_trainer_mode(out_path: str, data_root: str, run_root: str) -> None:
+    import jax
+
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import SimpleTrainer
+    from mucon_tpu.models import create_model
+    from tests.test_parallel import multihost_trainer_cfg
+
+    cfg = multihost_trainer_cfg(data_root, run_root)
+    train_db = handel_dataset(cfg, train=True)
+    model = create_model(
+        cfg,
+        train_db.get_num_classes(),
+        train_db.max_transcript_length + 1,
+        train_db.feat_dim,
+    )
+    # SimpleTrainer's own init_distributed() call hits the no-op branch
+    # (no env, no args) because this worker already joined the runtime
+    t = SimpleTrainer(cfg, "mh2proc", train_db, model)
+    assert t.mesh is not None
+    assert t.mesh.shape["data"] == jax.device_count()
+    t.train()
+    t.wait_for_save()
+
+    events = [
+        json.loads(line) for line in open(t.run_folder / "events.jsonl")
+    ]
+    train_losses = [e["main"] for e in events if e["kind"] == "epoch"]
+    ckpts = sorted(
+        p.name for p in (t.run_folder / "checkpoints").glob("epoch_*")
+    ) if (t.run_folder / "checkpoints").exists() else []
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "process": jax.process_index(),
+                "process_count": jax.process_count(),
+                "train_losses": train_losses,
+                "checkpoints": ckpts,
+            },
+            f,
+        )
+
+
+def main() -> None:
+    process_id = int(sys.argv[1])
+    num_processes = int(sys.argv[2])
+    port = sys.argv[3]
+    out_path = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "step"
+
+    import jax
+
+    from mucon_tpu.parallel.multihost import init_distributed, is_coordinator
+
+    init_distributed(
+        f"localhost:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert jax.process_count() == num_processes
+    assert is_coordinator() == (process_id == 0)
+
+    if mode == "step":
+        run_step_mode(out_path)
+    elif mode == "trainer":
+        run_trainer_mode(out_path, data_root=sys.argv[6], run_root=sys.argv[7])
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
 
 
 if __name__ == "__main__":

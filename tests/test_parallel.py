@@ -690,6 +690,7 @@ def test_trainer_multihost_single_process_matches_mesh(tmp_path):
     assert losses["multihost"] == losses["mesh"]
 
 
+@pytest.mark.slow
 def test_multihost_two_process_train_step(setup, tmp_path):
     """REAL multi-controller run: two OS processes join jax.distributed
     over localhost (4 virtual CPU devices each -> one 8-device global
@@ -762,3 +763,113 @@ def test_multihost_two_process_train_step(setup, tmp_path):
     # and it is the single-process math (reduction order may differ)
     assert results[0]["loss"] == pytest.approx(ref_loss, rel=2e-4)
     assert results[0]["param_checksum"] == pytest.approx(ref_checksum, rel=2e-4)
+
+
+def multihost_trainer_cfg(data_root, run_root):
+    """Tiny-model multihost trainer config shared between the two-process
+    worker (tests/multihost_worker.py) and the in-process reference run —
+    both must build byte-identical configs for the comparison to mean
+    anything."""
+    cfg = get_cfg_defaults()
+    cfg.dataset.name = "synthetic"
+    cfg.dataset.root = str(data_root)
+    # train_fraction .75 -> exactly 8 train videos = one full global batch
+    cfg.dataset.synthetic.num_videos = 11
+    cfg.dataset.synthetic.num_classes = 6
+    cfg.dataset.synthetic.feat_dim = 16
+    cfg.dataset.synthetic.min_len = 100
+    cfg.dataset.synthetic.max_len = 260
+    cfg.trainer.root = str(run_root)
+    cfg.trainer.num_epochs = 2
+    cfg.trainer.save_every = 1
+    cfg.model.ft.stages = [1, 2, 4]
+    cfg.model.ft.pooling_layers = [0, 1]
+    cfg.model.ft.hidden_size = 16
+    cfg.model.ft.last_gn_num_groups = 4
+    cfg.model.fs.encoder.hidden_size = 16
+    cfg.model.fs.decoder.hidden_size = 16
+    cfg.model.ft.dropout_rate = 0.0
+    cfg.model.ft.last_dropout_rate = 0.0
+    cfg.model.fs.decoder.embedding_dropout = 0.0
+    cfg.tpu.batch_size = 8
+    cfg.tpu.pad_multiple = 64
+    cfg.tpu.mesh.enable = True
+    cfg.tpu.mesh.data = 8
+    cfg.tpu.mesh.multihost = True
+    return cfg
+
+
+@pytest.mark.slow
+def test_multihost_two_process_trainer(tmp_path):
+    """Trainer-level multi-controller run: two OS processes (4 virtual CPU
+    devices each) run a full 2-epoch SimpleTrainer with
+    tpu.mesh.multihost=true over a SHARED synthetic dataset.  Pins the
+    trainer integration the step-level test can't see: per-process
+    batch-row slicing inside _make_arrays, seed-identical loader order
+    across processes, replicated per-epoch losses, and coordinator-only
+    checkpoint writes."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import SimpleTrainer
+
+    data_root = tmp_path / "data"
+    cfg = multihost_trainer_cfg(data_root, tmp_path / "runs_ref")
+    # pre-generate the synthetic dataset so concurrent workers only read
+    train_db = handel_dataset(cfg, train=True)
+
+    # single-process reference (8 local devices; multihost=True with one
+    # process is pinned identical to the plain mesh path elsewhere)
+    model = create_model(cfg, train_db.get_num_classes(),
+                         train_db.max_transcript_length + 1, train_db.feat_dim)
+    t = SimpleTrainer(cfg, "mh2proc", train_db, model)
+    t.train()
+    t.wait_for_save()
+    ref_losses = [
+        json.loads(line)["main"]
+        for line in open(t.run_folder / "events.jsonl")
+        if json.loads(line)["kind"] == "epoch"
+    ]
+    assert len(ref_losses) == 2
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(Path(__file__).resolve().parents[1]), env.get("PYTHONPATH", "")]
+    )
+    worker = str(Path(__file__).resolve().parent / "multihost_worker.py")
+    outs = [str(tmp_path / f"mh_t{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), outs[i],
+             "trainer", str(data_root), str(tmp_path / f"runs_p{i}")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    # replicated metrics: every process logged the identical loss series
+    assert results[0]["train_losses"] == results[1]["train_losses"]
+    assert len(results[0]["train_losses"]) == 2
+    # and it is the single-process math to reduction-order tolerance
+    for got, want in zip(results[0]["train_losses"], ref_losses):
+        assert got == pytest.approx(want, rel=2e-4)
+    # one writer per run: only the coordinator checkpoints
+    assert len(results[0]["checkpoints"]) == 2
+    assert results[1]["checkpoints"] == []
