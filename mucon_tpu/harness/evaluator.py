@@ -214,6 +214,22 @@ class MuConEvaluator:
             prog = None
             pending: deque = deque()
 
+            # Multi-process: the program's outputs are sharded over the
+            # global "data" axis, so a process can only d2h its OWN rows.
+            # One compiled identity with replicated out_shardings all-
+            # gathers every batch's (small, packed) outputs onto every
+            # process — each process then consumes ALL videos and computes
+            # the identical full 24-field result, so no cross-process
+            # metric merge machinery is needed.  The wire is the packed
+            # 2-leaf format (~0.4 MB/batch at B=128): gathering it is
+            # cheap next to the fused program itself.
+            replicate = None
+            if jax.process_count() > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                repl = NamedSharding(self._eval_mesh(), PartitionSpec())
+                replicate = jax.jit(lambda t: t, out_shardings=repl)
+
             def _consume_next():
                 b, out = pending.popleft()
                 self._consume_fused(b, jax.device_get(out))
@@ -228,6 +244,8 @@ class MuConEvaluator:
                 if prog is None:
                     prog = self._get_fused_program()
                 out = prog(params, arrays)
+                if replicate is not None:
+                    out = replicate(out)
                 for leaf in jax.tree.leaves(out):
                     leaf.copy_to_host_async()
                 pending.append((batch, out))
@@ -238,6 +256,16 @@ class MuConEvaluator:
             while pending:
                 _consume_next()
         else:
+            import jax
+
+            if jax.process_count() > 1:
+                raise RuntimeError(
+                    "multihost evaluation requires the fused device "
+                    "backend (evaluator.viterbi.backend='device', "
+                    "multi_length=false): the host-oracle path moves "
+                    "full batches to device 0, which does not exist as "
+                    "an addressable whole in a multi-process run"
+                )
             for batch in self.create_dataloader():
                 # host-backend (oracle) path: never mesh-pad — predict()
                 # and the metric loops index the UNPADDED batch
@@ -257,9 +285,21 @@ class MuConEvaluator:
         if not (self.cfg.tpu.mesh.enable and len(jax.devices()) > 1):
             return None
         if not hasattr(self, "_mesh"):
-            from mucon_tpu.parallel.mesh import mesh_from_config
+            if getattr(self.cfg.tpu.mesh, "multihost", False):
+                # multi-process run: same DCN x ICI hybrid mesh the trainer
+                # builds (parallel/multihost.py); single process delegates
+                # to make_mesh so the math is identical either way
+                from mucon_tpu.parallel.multihost import make_multihost_mesh
 
-            self._mesh = mesh_from_config(self.cfg)
+                self._mesh = make_multihost_mesh(
+                    self.cfg.tpu.mesh.data,
+                    self.cfg.tpu.mesh.seq,
+                    int(getattr(self.cfg.tpu.mesh, "model", 1)),
+                )
+            else:
+                from mucon_tpu.parallel.mesh import mesh_from_config
+
+                self._mesh = mesh_from_config(self.cfg)
         return self._mesh
 
     def _eval_feats_dtype(self):
@@ -297,6 +337,20 @@ class MuConEvaluator:
             batch, feats_dtype=self._eval_feats_dtype()
         )
         arrays = pad_batch_to_multiple(arrays, mesh.shape["data"])
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-process: each host moves only ITS rows of the padded
+            # global batch (same contract as the trainer's multihost path)
+            from mucon_tpu.parallel.multihost import (
+                process_batch_slice,
+                shard_batch_arrays_multihost,
+            )
+
+            sl = process_batch_slice(arrays["num_frames"].shape[0], mesh)
+            return shard_batch_arrays_multihost(
+                mesh, {k: v[sl] for k, v in arrays.items()}
+            )
         return shard_batch_arrays(self._mesh, arrays)
 
     def _eval_batches(self):
@@ -685,6 +739,16 @@ class MuConEvaluator:
 
     def save_stuff(self) -> None:
         assert self.checkpointing_folder is not None
+        import jax
+
+        if jax.process_count() > 1:
+            # one writer per run folder (the replicated consume gives every
+            # process identical to_save contents — writing any one copy is
+            # the complete artifact)
+            from mucon_tpu.parallel.multihost import is_coordinator
+
+            if not is_coordinator():
+                return
         self.checkpointing_folder.mkdir(parents=True, exist_ok=True)
         with open(self.checkpointing_folder / f"data_{self.name}.pkl", "wb") as f:
             pickle.dump(self.to_save, f)

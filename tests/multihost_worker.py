@@ -90,7 +90,9 @@ def run_step_mode(out_path: str) -> None:
         )
 
 
-def run_trainer_mode(out_path: str, data_root: str, run_root: str) -> None:
+def run_trainer_mode(
+    out_path: str, data_root: str, run_root: str, coord_root: str
+) -> None:
     import jax
 
     from mucon_tpu.data import handel_dataset
@@ -121,6 +123,48 @@ def run_trainer_mode(out_path: str, data_root: str, run_root: str) -> None:
     ckpts = sorted(
         p.name for p in (t.run_folder / "checkpoints").glob("epoch_*")
     ) if (t.run_folder / "checkpoints").exists() else []
+
+    # multihost EVALUATION: fused program over the global mesh, per-process
+    # batch rows, outputs all-gathered so every process computes the full
+    # 24-field result.  Deterministic init params (not the trained ones) so
+    # the parent's single-process reference is comparable.
+    import dataclasses
+
+    from mucon_tpu.harness import MuConEvaluator
+
+    test_db = handel_dataset(cfg, train=False)
+    ev_model = create_model(
+        cfg,
+        test_db.get_num_classes(),
+        test_db.max_transcript_length + 1,
+        test_db.feat_dim,
+    )
+    ev_params = ev_model.init_params(jax.random.PRNGKey(0))
+    ev = MuConEvaluator(cfg=cfg, test_db=test_db, model=ev_model)
+    ev.viterbi_mode(True)
+    eval_result = dataclasses.asdict(ev.evaluate(ev_params))
+
+    # multihost elastic RESUME: both processes restore the COORDINATOR's
+    # epoch-1 checkpoint (one shared run folder in real deployments), the
+    # restored host leaves are re-committed to the global mesh, and one
+    # more epoch runs — the multihost analog of the single-process resume
+    # contract (reference test_mucon.py:78)
+    c2 = multihost_trainer_cfg(data_root, coord_root)
+    c2.trainer.num_epochs = 3
+    t2 = SimpleTrainer(
+        c2, "mh2proc", train_db, model,
+        run_number=50 + jax.process_index(),
+    )
+    assert t2.resume_latest(run="0")
+    assert t2.epoch_num == 2
+    t2.train()
+    t2.wait_for_save()
+    resumed = [
+        json.loads(line)["main"]
+        for line in open(t2.run_folder / "events.jsonl")
+        if json.loads(line)["kind"] == "epoch"
+    ]
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -128,6 +172,8 @@ def run_trainer_mode(out_path: str, data_root: str, run_root: str) -> None:
                 "process_count": jax.process_count(),
                 "train_losses": train_losses,
                 "checkpoints": ckpts,
+                "eval": eval_result,
+                "resumed_losses": resumed,
             },
             f,
         )
@@ -155,7 +201,12 @@ def main() -> None:
     if mode == "step":
         run_step_mode(out_path)
     elif mode == "trainer":
-        run_trainer_mode(out_path, data_root=sys.argv[6], run_root=sys.argv[7])
+        run_trainer_mode(
+            out_path,
+            data_root=sys.argv[6],
+            run_root=sys.argv[7],
+            coord_root=sys.argv[8],
+        )
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 

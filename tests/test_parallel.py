@@ -796,6 +796,7 @@ def multihost_trainer_cfg(data_root, run_root):
     cfg.tpu.mesh.enable = True
     cfg.tpu.mesh.data = 8
     cfg.tpu.mesh.multihost = True
+    cfg.evaluator.viterbi.frame_sampling = 10  # videos are 100-260 frames
     return cfg
 
 
@@ -837,6 +838,36 @@ def test_multihost_two_process_trainer(tmp_path):
     ]
     assert len(ref_losses) == 2
 
+    # single-process reference for the multihost EVALUATION comparison
+    # (deterministic init params; the workers use the same key)
+    import dataclasses
+
+    from mucon_tpu.harness import MuConEvaluator
+
+    test_db = handel_dataset(cfg, train=False)
+    ev_model = create_model(cfg, test_db.get_num_classes(),
+                            test_db.max_transcript_length + 1,
+                            test_db.feat_dim)
+    ev = MuConEvaluator(cfg=cfg, test_db=test_db, model=ev_model)
+    ev.viterbi_mode(True)
+    ref_eval = dataclasses.asdict(
+        ev.evaluate(ev_model.init_params(jax.random.PRNGKey(0)))
+    )
+
+    # single-process resume reference: restore epoch 1, run one more epoch
+    c2 = multihost_trainer_cfg(data_root, tmp_path / "runs_ref")
+    c2.trainer.num_epochs = 3
+    t2 = SimpleTrainer(c2, "mh2proc", train_db, model, run_number=50)
+    assert t2.resume_latest(run="0")
+    t2.train()
+    t2.wait_for_save()
+    ref_resumed = [
+        json.loads(line)["main"]
+        for line in open(t2.run_folder / "events.jsonl")
+        if json.loads(line)["kind"] == "epoch"
+    ]
+    assert len(ref_resumed) == 1
+
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -853,7 +884,8 @@ def test_multihost_two_process_trainer(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), "2", str(port), outs[i],
-             "trainer", str(data_root), str(tmp_path / f"runs_p{i}")],
+             "trainer", str(data_root), str(tmp_path / f"runs_p{i}"),
+             str(tmp_path / "runs_p0")],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -873,3 +905,20 @@ def test_multihost_two_process_trainer(tmp_path):
     # one writer per run: only the coordinator checkpoints
     assert len(results[0]["checkpoints"]) == 2
     assert results[1]["checkpoints"] == []
+    # multihost evaluation: every process computed the identical full
+    # 24-field result, matching the single-process reference
+    assert results[0]["eval"] == results[1]["eval"]
+    for k, want in ref_eval.items():
+        got = results[0]["eval"][k]
+        if isinstance(want, tuple):
+            for a, b in zip(want, got):
+                assert b == pytest.approx(a, abs=1e-4), k
+        else:
+            assert got == pytest.approx(want, abs=1e-4), k
+    # multihost resume: both processes restored the coordinator's epoch-1
+    # checkpoint onto the global mesh and trained one more epoch
+    assert results[0]["resumed_losses"] == results[1]["resumed_losses"]
+    assert len(results[0]["resumed_losses"]) == 1
+    assert results[0]["resumed_losses"][0] == pytest.approx(
+        ref_resumed[0], rel=2e-4
+    )
