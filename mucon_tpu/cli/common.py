@@ -52,6 +52,17 @@ def compose_config(args) -> ConfigNode:
         cfg.defrost()
         cfg.experiment_name = args.exp_name
         cfg.freeze()
+    # multihost runs: jax.distributed.initialize must run BEFORE any jax
+    # call initializes the XLA backend (the entry scripts print
+    # jax.devices() and build models long before the trainer constructs) —
+    # initializing late raises RuntimeError, and skipping it silently runs
+    # each host as an independent process_count==1 job writing the same
+    # run folder.  auto=True also covers Cloud TPU pods, where the
+    # coordinator comes from instance metadata rather than JAX_* env.
+    if bool(getattr(cfg.tpu.mesh, "multihost", False)):
+        from mucon_tpu.parallel.multihost import init_distributed
+
+        init_distributed(auto=True)
     apply_runtime_config(cfg)
     return cfg
 

@@ -227,6 +227,14 @@ class MuConEvaluator:
             if jax.process_count() > 1:
                 from jax.sharding import NamedSharding, PartitionSpec
 
+                if self._eval_mesh() is None:
+                    raise RuntimeError(
+                        "multi-process evaluation requires the mesh "
+                        "(tpu.mesh.enable=True): without it there is no "
+                        "global sharding to address another process's "
+                        "rows through — plain device_put of the full "
+                        "batch is meaningless in a multi-process run"
+                    )
                 repl = NamedSharding(self._eval_mesh(), PartitionSpec())
                 replicate = jax.jit(lambda t: t, out_shardings=repl)
 

@@ -174,11 +174,26 @@ class SimpleTrainer:
                     make_multihost_mesh,
                 )
 
+                # idempotent: the CLI entries already initialized before
+                # any jax call (cli/common.py::compose_config); if an env-
+                # configured launch reaches here UNinitialized (custom
+                # launcher touched jax first), this raises with the fix.
                 init_distributed()
+                n_model = int(getattr(cfg.tpu.mesh, "model", 1))
+                if jax.process_count() > 1 and n_model > 1:
+                    raise RuntimeError(
+                        "multihost + model-sharded params "
+                        f"(tpu.mesh.model={n_model}) is not supported: "
+                        "save_training's single-writer checkpoint needs "
+                        "every param leaf addressable in full on the "
+                        "coordinator, but model sharding leaves it only a "
+                        "shard of each ft leaf. Use tpu.mesh.model=1 "
+                        "across hosts (shard model within a host only)."
+                    )
                 self.mesh = make_multihost_mesh(
                     cfg.tpu.mesh.data,
                     cfg.tpu.mesh.seq,
-                    int(getattr(cfg.tpu.mesh, "model", 1)),
+                    n_model,
                 )
             else:
                 from mucon_tpu.parallel.mesh import mesh_from_config
@@ -538,8 +553,8 @@ class SimpleTrainer:
             # one writer per run folder: non-coordinator processes skip
             # checkpointing.  Valid for data/seq meshes (params replicated,
             # so the coordinator's local devices hold every leaf in full);
-            # multihost + model-sharded params would need the local shards
-            # reassembled per process before a single-writer save.
+            # multihost + model-sharded params is rejected at construction
+            # (see __init__) until a shard-reassembling save exists.
             from mucon_tpu.parallel.multihost import is_coordinator
 
             if not is_coordinator():

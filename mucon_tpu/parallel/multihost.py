@@ -30,8 +30,10 @@ in docs/ARCHITECTURE.md):
    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env,
    explicit args win);
 2. build the mesh with `make_multihost_mesh(...)`;
-3. the loader yields each process ITS OWN videos:
-   `process_batch_slice(global_batch, mesh)` says which rows;
+3. each process transfers ONLY its own rows of the collated batch:
+   `process_batch_slice(global_batch, mesh)` says which (derived from the
+   mesh's device layout; collate itself still runs on every host — see
+   the function docstring);
 4. assemble global device arrays with
    `shard_batch_arrays_multihost(mesh, local_arrays)` — a drop-in for
    `shard_batch_arrays` built on `jax.make_array_from_process_local_data`;
@@ -62,28 +64,90 @@ from mucon_tpu.parallel.mesh import batch_specs, make_mesh
 logger = logging.getLogger("mucon_tpu.multihost")
 
 
+def _distributed_client_active() -> bool:
+    """True once jax.distributed.initialize has run in this process (by us
+    or an external launcher) — calling initialize again raises."""
+    try:
+        from jax._src import distributed as _jdist
+
+        return getattr(_jdist.global_state, "client", None) is not None
+    except Exception:  # pragma: no cover - private-API drift
+        return jax.process_count() > 1
+
+
+def distributed_env_configured() -> bool:
+    """True when the environment declares a multi-process launch (the
+    standard JAX env an external launcher exports)."""
+    return bool(
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_NUM_PROCESSES")
+    )
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> tuple[int, int]:
     """Initialize jax.distributed when a multi-process run is configured;
-    no-op (returns (0, 1)) otherwise.
+    no-op (returns current (process_index, process_count)) otherwise.
 
     A run is multi-process when `coordinator_address` is given explicitly
     or the standard JAX env (JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES +
-    JAX_PROCESS_ID) is set — the same contract `jax.distributed.initialize`
-    auto-detects on Cloud TPU pods, made explicit so single-host runs never
-    touch the distributed runtime.  Returns (process_index, process_count).
+    JAX_PROCESS_ID) is set.  With ``auto=True`` (the CLI entries pass this
+    when ``tpu.mesh.multihost`` is set) and no explicit env/args,
+    `jax.distributed.initialize()`'s own cluster auto-detection is tried —
+    that is the path real Cloud TPU pods take, where the coordinator comes
+    from instance metadata, not JAX_* vars; if no cluster environment is
+    detected either, the run proceeds single-process.
+
+    Idempotent: a second call (e.g. the trainer after the CLI entry, or
+    after an external launcher already initialized) is a no-op.
+
+    MUST run before any jax call initializes the XLA backend — the CLI
+    entries (cli/common.py::compose_config) call this before touching
+    jax.devices(); custom launchers must do the same.
+    Returns (process_index, process_count).
     """
-    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr is None and num_processes is None:
+    if _distributed_client_active():
         return jax.process_index(), jax.process_count()
-    jax.distributed.initialize(
-        coordinator_address=addr,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    explicit = addr is not None or num_processes is not None
+    if not explicit and not auto:
+        return jax.process_index(), jax.process_count()
+    try:
+        if explicit:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            # auto mode, no env/args: let jax's cluster detection look for
+            # Cloud TPU metadata / SLURM / etc.
+            jax.distributed.initialize()
+    except RuntimeError as e:
+        raise RuntimeError(
+            "jax.distributed.initialize failed. On multihost runs it must "
+            "execute BEFORE any jax call initializes the XLA backend "
+            "(jax.devices(), jit, device_put, ...). The mucon_tpu CLI "
+            "entries call init_distributed first when tpu.mesh.multihost "
+            "is set; a custom launcher must call "
+            "mucon_tpu.parallel.multihost.init_distributed() at its top."
+        ) from e
+    except ValueError:
+        if explicit:
+            raise
+        # auto mode and jax could not detect a cluster environment:
+        # a single-process dev run with multihost=True is allowed — the
+        # mesh falls back to make_mesh and the math is identical.
+        logger.info(
+            "tpu.mesh.multihost set but no distributed environment "
+            "detected (no JAX_COORDINATOR_ADDRESS / cloud metadata); "
+            "running single-process"
+        )
+        return jax.process_index(), jax.process_count()
     logger.info(
         "jax.distributed initialized: process %d / %d, %d local devices",
         jax.process_index(),
@@ -133,10 +197,11 @@ def make_multihost_mesh(
     # granules, which only exist on multi-slice TPU pods (one process per
     # slice).  Multi-host runs WITHIN one slice — and the multi-process CPU
     # backend used to test this path without hardware — have a single (or
-    # no) slice_index, so fall back to process granules there; the layout
-    # contract is the same either way: each process's devices form one
-    # contiguous block of the "data" axis (process_batch_slice relies on
-    # this for addressable-shard assembly).
+    # no) slice_index, so fall back to process granules there.  Either way
+    # each process's devices must form one contiguous block of the "data"
+    # axis, but the block's POSITION is not assumed: process_batch_slice
+    # derives it from the built mesh's device->row mapping (slice-granule
+    # order need not equal process_index order).
     slice_ids = {getattr(d, "slice_index", None) for d in jax.devices()}
     by_process = None in slice_ids or len(slice_ids) != n_proc
     grid = mesh_utils.create_hybrid_device_mesh(
@@ -147,19 +212,48 @@ def make_multihost_mesh(
     return Mesh(grid, ("data", "seq", "model"))
 
 
-def process_batch_slice(global_batch: int, mesh: Mesh) -> slice:
-    """Rows of the GLOBAL padded batch this process must materialize.
+def _process_data_rows(mesh: Mesh) -> slice:
+    """Contiguous block of the mesh's "data" axis owned by THIS process,
+    derived from the mesh's actual device->index mapping (never assumed
+    from process_index: `create_hybrid_device_mesh` may order granules by
+    slice_index on multi-slice pods, which is not guaranteed to equal
+    process_index ordering)."""
+    devs = np.asarray(mesh.devices)  # (data, seq, model)
+    me = jax.process_index()
+    mine = []
+    for i in range(devs.shape[0]):
+        owners = {d.process_index for d in devs[i].ravel()}
+        if me in owners:
+            assert owners == {me}, (
+                f"data row {i} spans processes {sorted(owners)} — seq/model "
+                "axes must stay within one process (make_multihost_mesh "
+                "guarantees this; a hand-built mesh violated it)"
+            )
+            mine.append(i)
+    assert mine and mine == list(range(mine[0], mine[0] + len(mine))), (
+        f"process {me}'s data rows {mine} are not one contiguous block; "
+        "make_array_from_process_local_data needs contiguous local rows"
+    )
+    return slice(mine[0], mine[-1] + 1)
 
-    The data axis is laid out with the process (DCN) dimension outermost
-    (make_multihost_mesh), so each process owns one contiguous block of
-    videos.  The loader applies this to its sample list before collating,
-    so no host ever reads or pads another host's videos.
+
+def process_batch_slice(global_batch: int, mesh: Mesh) -> slice:
+    """Rows of the GLOBAL padded batch this process must transfer.
+
+    Derived from the mesh's device layout (`_process_data_rows`), so it is
+    correct for both process-granule and slice-granule hybrid meshes even
+    when granule order differs from process_index order.  Note the current
+    trainer/evaluator apply this AFTER `batch_to_host_arrays` on the fully
+    collated global batch — every host still reads, pads, and collates all
+    videos; only the host->device transfer is sliced.  Moving the slice
+    into the loader (pre-collate) is the remaining host-work optimization
+    at Breakfast scale (~20 GB/epoch of collate measured round 2).
     """
-    n_proc = jax.process_count()
-    assert global_batch % n_proc == 0, (global_batch, n_proc)
-    per = global_batch // n_proc
-    i = jax.process_index()
-    return slice(i * per, (i + 1) * per)
+    devs_rows = _process_data_rows(mesh)
+    n_data = int(np.asarray(mesh.devices).shape[0])
+    assert global_batch % n_data == 0, (global_batch, n_data)
+    per_row = global_batch // n_data
+    return slice(devs_rows.start * per_row, devs_rows.stop * per_row)
 
 
 def shard_batch_arrays_multihost(mesh: Mesh, local_arrays: dict) -> dict:
