@@ -184,6 +184,14 @@ def get_cfg_defaults() -> ConfigNode:
     # wire AND device-cache bytes (lossy: elementwise error <= peak/254;
     # per-frame scales ride along as a tiny f32 leaf). The device upcasts
     # to the compute dtype. Eval always transfers f32 (metric parity).
+    # CONVERGENCE-VALIDATED (round 4, v5e): the 500-epoch synthetic recipe
+    # (scripts/convergence_synthetic_tpu.sh) with float16 and with int8
+    # wires both reproduce the f32 run's final metrics (y_mof 0.960,
+    # s_mof 0.409, vit_mof 0.444 > s_mof — the mutual-consistency
+    # dynamic) while per-step losses differ in the 4th decimal, i.e. the
+    # quantization perturbs the trajectory without changing where it
+    # lands. Safe to enable when host->device bandwidth or device cache
+    # bytes bound the run; keep f32 for strict reference parity.
     _C.tpu.use_pallas = "auto"  # fused Pallas kernels (eval path: v2 stack
     # encoder + in-kernel Viterbi DP — validated faster than XLA on v5e).
     # "auto" = on for accelerator backends, off on CPU; True forces the

@@ -922,3 +922,77 @@ def test_multihost_two_process_trainer(tmp_path):
     assert results[0]["resumed_losses"][0] == pytest.approx(
         ref_resumed[0], rel=2e-4
     )
+
+
+@pytest.mark.slow
+@pytest.mark.interpret
+def test_full_depth_shardmap_pallas_matches_single():
+    """VERDICT r3 #3: the FULL-DEPTH flagship (all 11 dilated stages,
+    hidden 128, full 16x pooling ladder) through shard_map + the v3 train
+    kernel (interpret mode on CPU) must match the unsharded kernel step —
+    the exact composition the v5e-8 projection assumes.  T=512 keeps the
+    interpret cost tractable while every dilation regime (d < T, d == T,
+    d > T after pooling) crosses the kernel."""
+    from mucon_tpu.data.general_dataset import Sample
+    from mucon_tpu.data.utils import create_tf_input, create_tf_target
+
+    n_cls, feat_dim = 48, 256
+    cfg = get_cfg_defaults()  # full-depth defaults: stages 1..1024
+    cfg.tpu.use_pallas = True
+    cfg.tpu.use_pallas_train = True
+    cfg.model.ft.dropout_rate = 0.0  # parity needs rng-free shards; the
+    cfg.model.ft.last_dropout_rate = 0.0  # dropout path runs in the dryrun
+    cfg.model.fs.decoder.embedding_dropout = 0.0
+
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(8):
+        T = 512 - 16 * (i % 4)
+        tr = rng.randint(0, n_cls, size=6).astype(np.int64)
+        samples.append(Sample(
+            feats=rng.randn(T, feat_dim).astype(np.float32),
+            gt_label=rng.randint(0, n_cls, size=T).astype(np.int64),
+            transcript=tr,
+            transcript_tf_input=create_tf_input(tr, sos_i=n_cls + 1),
+            transcript_tf_target=create_tf_target(tr, eos_i=n_cls),
+            video_name=f"v{i}",
+        ))
+    batch = collate_padded(samples, n_max=30, pad_multiple=512)
+    model = create_model(cfg, num_classes=n_cls, max_decoding_steps=31,
+                         input_feature_size=feat_dim)
+    assert model.kernels_active(train=True)
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    arrays = batch_to_arrays(batch)
+    tx = create_optimizer(cfg, model.param_partition(params))
+
+    def single_step(p, rng_key, arr):
+        def loss_fn(q):
+            fwd = model.forward(q, arr, rng=rng_key, train=True,
+                                teacher_forcing=True)
+            loss = model.loss(fwd, arr, teacher_forcing=True)
+            return loss.main, loss
+
+        grads, loss = jax.grad(loss_fn, has_aux=True)(p)
+        import optax
+
+        updates, _ = tx.update(grads, tx.init(p), p)
+        return optax.apply_updates(p, updates), loss
+
+    p_single, l_single = single_step(
+        jax.tree.map(jnp.array, params), jax.random.PRNGKey(3), arrays
+    )
+
+    mesh = make_mesh(8, 1)
+    step = make_sharded_train_step(model, tx, mesh, teacher_forcing=True)
+    params_in = jax.tree.map(jnp.array, params)
+    opt_state = tx.init(params_in)
+    p_mesh, _, l_mesh = step(
+        params_in, opt_state, jax.random.PRNGKey(3),
+        shard_batch_arrays(mesh, arrays),
+    )
+
+    assert float(l_mesh.main) == pytest.approx(float(l_single.main), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p_mesh), jax.tree.leaves(p_single)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        )
