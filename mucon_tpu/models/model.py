@@ -181,7 +181,7 @@ class MuConModel:
         dropout masks seeded from the step rng."""
         import jax as _jax
         from mucon_tpu.models.layers import mask_time
-        from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+        from mucon_tpu.ops.wavenet_pallas_v2 import pack_wavenet_params
         from mucon_tpu.ops.wavenet_train_pallas_v3 import (
             plan_batch_slices,
             wavenet_stack_train_v3_auto,
@@ -306,7 +306,7 @@ class MuConModel:
         residual stack entirely in VMEM."""
         import jax as _jax
         from mucon_tpu.models.layers import mask_time
-        from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+        from mucon_tpu.ops.wavenet_pallas_v2 import pack_wavenet_params
         from mucon_tpu.ops.wavenet_pallas_v2 import (
             plan_eval_slices,
             wavenet_stack_pallas_v2_sliced,

@@ -12,7 +12,7 @@ Semantics match the reference modules (src/core/modules/temporal.py):
 TPU design: channel-last [B x T x C] layout; 1x1 convs are plain MXU
 matmuls; the k=3 dilated conv is expressed as three shifted matmuls (XLA
 fuses the shifts into the convolution epilogue; a fused Pallas residual
-stack lives in mucon_tpu/ops/wavenet_pallas.py).  Per-video lengths are
+stack lives in mucon_tpu/ops/wavenet_pallas_v2.py).  Per-video lengths are
 re-masked after every time-mixing op so padded batches compute EXACTLY what
 the reference computes on exact-length tensors (zero padding == torch
 Conv1d zero padding; verified by tests/test_temporal.py).

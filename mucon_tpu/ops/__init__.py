@@ -6,8 +6,10 @@ from mucon_tpu.ops.viterbi import (
     viterbi_precompute,
 )
 from mucon_tpu.ops.viterbi_pallas import dense_viterbi_pallas
-from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params, wavenet_stack_pallas
-from mucon_tpu.ops.wavenet_pallas_v2 import wavenet_stack_pallas_v2
+from mucon_tpu.ops.wavenet_pallas_v2 import (
+    pack_wavenet_params,
+    wavenet_stack_pallas_v2,
+)
 
 __all__ = [
     "build_fused_eval",
@@ -18,6 +20,5 @@ __all__ = [
     "viterbi_precompute",
     "dense_viterbi_pallas",
     "pack_wavenet_params",
-    "wavenet_stack_pallas",
     "wavenet_stack_pallas_v2",
 ]

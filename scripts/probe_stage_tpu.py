@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from mucon_tpu.models.layers import mask_time
 from mucon_tpu.models.temporal import WaveNetBlock
-from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+from mucon_tpu.ops.wavenet_pallas_v2 import pack_wavenet_params
 from mucon_tpu.ops.wavenet_train_pallas_v2 import (
     _fwd_call,
     wavenet_stack_train_v2,

@@ -14,7 +14,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mucon_tpu.models.layers import mask_time
 from mucon_tpu.models.temporal import WaveNetBlock
-from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+from mucon_tpu.ops.wavenet_pallas_v2 import pack_wavenet_params
 from mucon_tpu.ops.wavenet_train_pallas_v3 import wavenet_stack_train_v3
 
 STAGES = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)

@@ -8,7 +8,10 @@ import jax
 import jax.numpy as jnp
 
 from mucon_tpu.models.temporal import WaveNetBlock
-from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params, wavenet_stack_pallas
+from mucon_tpu.ops.wavenet_pallas_v2 import (
+    pack_wavenet_params,
+    wavenet_stack_pallas_v2,
+)
 
 
 def test_wavenet_stack_kernel_matches_flax():
@@ -40,7 +43,7 @@ def test_wavenet_stack_kernel_matches_flax():
     x_proj = jnp.maximum(jnp.asarray(xs) @ w_in + b_in, 0.0)
 
     w3, b3, w1, b1, w_last, b_last = pack_wavenet_params(params, len(stages))
-    z, out_len = wavenet_stack_pallas(
+    z, out_len = wavenet_stack_pallas_v2(
         x_proj,
         jnp.asarray(lengths),
         w3, b3, w1, b1, w_last, b_last,
@@ -77,7 +80,7 @@ def test_wavenet_stack_kernel_dilation_exceeds_t():
     b_in = params["Conv1x1_0"]["bias"]
     x_proj = jnp.maximum(jnp.asarray(x) @ w_in + b_in, 0.0)
     w3, b3, w1, b1, w_last, b_last = pack_wavenet_params(params, len(stages))
-    z, _ = wavenet_stack_pallas(
+    z, _ = wavenet_stack_pallas_v2(
         x_proj, jnp.asarray(lengths), w3, b3, w1, b1, w_last, b_last,
         stages=stages, pooling_layers=pooling_layers, interpret=True,
     )
@@ -195,37 +198,6 @@ def test_fused_eval_with_pallas_viterbi_matches():
     np.testing.assert_array_equal(b["y_argmax"], a["y_argmax"])
 
 
-def test_wavenet_stack_v2_matches_v1():
-    from mucon_tpu.ops.wavenet_pallas_v2 import wavenet_stack_pallas_v2
-
-    rng = np.random.RandomState(4)
-    B, T, C = 3, 64, 128
-    stages = (1, 2, 4)
-    pooling_layers = (0, 1)
-    lengths = np.array([64, 41, 17], np.int32)
-    x = rng.randn(B, T, C).astype(np.float32)
-    x = x * (np.arange(T)[None, :, None] < lengths[:, None, None])
-
-    w3 = jnp.asarray(rng.randn(len(stages), 3, C, C).astype(np.float32) * 0.05)
-    b3 = jnp.asarray(rng.randn(len(stages), C).astype(np.float32) * 0.05)
-    w1 = jnp.asarray(rng.randn(len(stages), C, C).astype(np.float32) * 0.05)
-    b1 = jnp.asarray(rng.randn(len(stages), C).astype(np.float32) * 0.05)
-    wl = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.05)
-    bl = jnp.asarray(rng.randn(C).astype(np.float32) * 0.05)
-
-    z1, l1 = wavenet_stack_pallas(
-        jnp.asarray(x), jnp.asarray(lengths), w3, b3, w1, b1, wl, bl,
-        stages=stages, pooling_layers=pooling_layers, interpret=True,
-    )
-    z2, l2 = wavenet_stack_pallas_v2(
-        jnp.asarray(x), jnp.asarray(lengths), w3, b3, w1, b1, wl, bl,
-        stages=stages, pooling_layers=pooling_layers, interpret=True,
-    )
-    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
-    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=1e-5,
-                               atol=1e-5)
-
-
 def test_wavenet_stack_v2_bf16_close_to_f32():
     """bf16 MXU mode of the eval kernel: f32-accumulated bf16 matmuls stay
     within bf16 rounding of the f32 kernel (residual state is f32)."""
@@ -235,7 +207,7 @@ def test_wavenet_stack_v2_bf16_close_to_f32():
 
     from mucon_tpu.models.layers import mask_time
     from mucon_tpu.models.temporal import WaveNetBlock
-    from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+    from mucon_tpu.ops.wavenet_pallas_v2 import pack_wavenet_params
     from mucon_tpu.ops.wavenet_pallas_v2 import wavenet_stack_pallas_v2
 
     STAGES, POOLS, B, T, C = (1, 2, 4), (0, 1), 2, 64, 16

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from mucon_tpu.models.temporal import WaveNetBlock
-from mucon_tpu.ops.wavenet_pallas import pack_wavenet_params
+from mucon_tpu.ops.wavenet_pallas_v2 import pack_wavenet_params
 
 STAGES = (1, 2, 4)
 POOLS = (0, 1)
