@@ -161,6 +161,10 @@ class MuConModel:
             if not train and use_pallas:
                 z, tz = self._encode_pallas_mstcnpp(params, batch_arrays)
 
+        decoder_fn = None
+        if train and tf:
+            decoder_fn = self._decoder_pallas_fn(params, batch_arrays, rng)
+
         return self.net.apply(
             {"params": params},
             batch_arrays["feats"],
@@ -171,8 +175,86 @@ class MuConModel:
             teacher_forcing=tf,
             z_precomputed=z,
             tz_precomputed=tz,
+            decoder_fn=decoder_fn,
             rngs=rngs,
         )
+
+    def _n_pools(self) -> int:
+        """Static pooling count of the temporal encoder (tz = T >> n)."""
+        ft = self.cfg.model.ft
+        if ft.type == "noft" or (ft.type == "wavenet" and not ft.pooling):
+            return 0
+        return sum(1 for p in ft.pooling_layers if p < len(ft.stages))
+
+    def _decoder_pallas_fn(self, params, batch_arrays, rng):
+        """Fused teacher-forced decoder chain (ops/decoder_pallas.py):
+        returns the closure MuConNet calls in place of the nn.scan branch,
+        or None when routing keeps the scan.  Embedding lookup + dropout
+        happen here (XLA threefry mask, like the v3 encoder kernel), so
+        the chain kernels stay gather- and prng-free; gradients flow to
+        the flax decoder leaves through the closure's reads of the SAME
+        params pytree apply receives."""
+        import jax as _jax
+
+        from mucon_tpu.ops.decoder_pallas import (
+            decoder_chain_vmem_bytes,
+            decoder_teacher_forced,
+        )
+
+        if not resolve_pallas_flag(self.cfg.tpu.use_pallas_decoder):
+            return None
+        mfs = self.cfg.model.fs
+        H = int(mfs.decoder.hidden_size)
+        if self.cfg.tpu.compute_dtype == "bfloat16":
+            _log_route("train decoder: scan (chain kernel is f32-only)")
+            return None
+        if int(mfs.encoder.hidden_size) != H:
+            _log_route(
+                "train decoder: scan (chain kernel needs encoder and "
+                "decoder hidden sizes equal)"
+            )
+            return None
+        B, T, _ = batch_arrays["feats"].shape
+        S = self.max_decoding_steps
+        Tz = max(1, T >> self._n_pools())
+        E = 2 * H if mfs.encoder.bidirectional else H
+        need = decoder_chain_vmem_bytes(S, B, Tz, H, E)
+        if need > 64 * 2**20:
+            _log_route(
+                f"train decoder S={S} B={B} Tz={Tz}: scan (chain kernel "
+                f"needs {need / 2**20:.0f} MB VMEM > budget)"
+            )
+            return None
+        _log_route(
+            f"train decoder S={S} B={B} Tz={Tz}: fused Pallas chain "
+            f"({need / 2**20:.1f} MB VMEM)"
+        )
+
+        dp = params["decoder"]
+        tf_input = batch_arrays["tf_input"]
+        drop = float(mfs.decoder.embedding_dropout)
+
+        def decoder_fn(enc_out, attn_pre, tz_mask, h0, c0):
+            table = dp["embedding"]["embedding"]
+            tokens_tf = jnp.swapaxes(tf_input[:, :S], 0, 1)  # [S x B]
+            emb = jnp.maximum(jnp.take(table, tokens_tf, axis=0), 0.0)
+            if drop > 0.0 and rng is not None:
+                # whole-trajectory mask (the scan path draws per step;
+                # same distribution, different stream — flax Dropout
+                # semantics: keep with p=1-rate, scale kept by 1/(1-rate))
+                keep = 1.0 - drop
+                bern = _jax.random.bernoulli(
+                    _jax.random.fold_in(rng, 23), keep, emb.shape
+                )
+                emb = jnp.where(bern, emb / keep, 0.0)
+            return decoder_teacher_forced(
+                dp, emb, enc_out, attn_pre,
+                tz_mask.astype(jnp.float32), h0, c0,
+                use_kernel=True,
+                interpret=_jax.default_backend() == "cpu",
+            )
+
+        return decoder_fn
 
     def _encode_pallas_train(self, params, batch_arrays, rng):
         """Differentiable fused stack v3 (ops/wavenet_train_pallas_v3.py:

@@ -210,6 +210,12 @@ class MuConNet(nn.Module):
         teacher_forcing: bool = True,
         z_precomputed=None,  # optional externally computed encoder output
         tz_precomputed=None,  # ... and its lengths (Pallas fused-stack path)
+        decoder_fn=None,  # optional external teacher-forced decoder
+        # (fused Pallas chain, ops/decoder_pallas.py): called as
+        # decoder_fn(decoder_params, enc_out, attn_pre, tz_mask, h0, c0)
+        # -> (logprobs [S x B x M+1], lengths [S x B], tokens [S x B]);
+        # closes over tf_input/rng at the MuConModel level so the kernel
+        # stays gather- and prng-free
     ) -> MuConForwardOut:
         B, T, D = feats.shape
         S = self.max_decoding_steps
@@ -340,6 +346,13 @@ class MuConNet(nn.Module):
 
             _, _, _, (logprobs, lengths, tokens) = nn.while_loop(
                 cond_fn, body_fn, cell, state0, broadcast_variables=True
+            )
+        elif decoder_fn is not None and teacher_forcing:
+            # fused Pallas decoder chain (ops/decoder_pallas.py): the
+            # closure reads the decoder params from the same pytree apply
+            # received, so gradients flow identically to the scan path
+            logprobs, lengths, tokens = decoder_fn(
+                enc_out, attn_pre, tz_mask, init_carry[0], init_carry[1]
             )
         else:
             scan_cell = nn.scan(

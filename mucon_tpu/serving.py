@@ -157,6 +157,7 @@ class ExportedMuCon:
     cli/predict.py's predict_videos)."""
 
     def __init__(self, out_dir):
+        import jax
         from jax import export as jexport
 
         out_dir = Path(out_dir)
@@ -166,10 +167,14 @@ class ExportedMuCon:
         self.exported = jexport.deserialize(
             (out_dir / ARTIFACT_NAME).read_bytes()
         )
+        # jit the call ONCE: Exported.call re-traces (and over a remote
+        # backend re-COMPILES) on every invocation otherwise — measured
+        # 13-27 s/batch un-jitted vs milliseconds warm (probe_export_tpu)
+        self._call = jax.jit(self.exported.call)
 
     def __call__(self, feats, num_frames):
         """Raw exported program at the frozen shapes -> 2-leaf wire."""
-        return self.exported.call(feats, num_frames)
+        return self._call(feats, num_frames)
 
     def predict(self, feats_list, names=None):
         """Serve a list of [T x D] float32 feature arrays (any count; any
