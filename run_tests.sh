@@ -3,11 +3,14 @@
 # TPU registration (2-3 min hang); force the CPU platform with 8 virtual
 # devices for sharding tests.
 #
-# Tiers (VERDICT r2 #5): the CPU interpret-mode Pallas oracle tests are
-# marked `interpret` and dominate the suite's wall time on this 1-CPU box.
+# Tiers (VERDICT r2 #5, r3 #6): the CPU interpret-mode Pallas oracle tests
+# are marked `interpret`; heavyweight integration tests (multi-process
+# multihost runs, trainer e2e / mesh / cache-replay tests that re-jit full
+# models — minutes each on this 1-CPU box) are marked `slow`.
 #   ./run_tests.sh           # full suite (default: everything on)
 #   FAST=1 ./run_tests.sh    # fast tier only (skips interpret + slow markers)
 #   INTERPRET=1 ./run_tests.sh  # the slow oracle tier alone
+#   SLOW=1 ./run_tests.sh    # the heavyweight integration tier alone
 export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
 export XLA_FLAGS="--xla_force_host_platform_device_count=8"
@@ -18,5 +21,7 @@ if [ -n "$FAST" ]; then
   set -- "$@" -m "not interpret and not slow"
 elif [ -n "$INTERPRET" ]; then
   set -- "$@" -m interpret
+elif [ -n "$SLOW" ]; then
+  set -- "$@" -m slow
 fi
 exec python -m pytest "$@"

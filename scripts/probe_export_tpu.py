@@ -106,6 +106,31 @@ def do_serve(args):
     served.predict(feats_list[:B])  # compile + warmup round
     t_warm = time.perf_counter() - t0
 
+    # device-resident timing: inputs device_put once, scalar-readback
+    # sync (CLAUDE.md: never trust block_until_ready over the tunnel) —
+    # isolates the program itself from the per-batch feature wire
+    import jax
+    import jax.numpy as jnp
+
+    feats0 = np.zeros((B, T, D), np.float32)
+    nf0 = np.full((B,), T, m["num_frames_dtype"])
+    for i, f in enumerate(feats_list[:B]):
+        feats0[i, : f.shape[0]] = f
+        nf0[i] = f.shape[0]
+    dfe, dnf = jax.device_put(feats0), jax.device_put(nf0)
+
+    def run_synced():
+        out = served(dfe, dnf)
+        float(jnp.sum(jax.tree.leaves(out)[0]))
+
+    run_synced()  # warm this sync path
+    dev_times = []
+    for _ in range(args.rounds):
+        t0 = time.perf_counter()
+        run_synced()
+        dev_times.append(time.perf_counter() - t0)
+    dev_best_ms = min(dev_times) / B * 1e3
+
     times = []
     for _ in range(args.rounds):
         t0 = time.perf_counter()
@@ -125,6 +150,8 @@ def do_serve(args):
                 ms_per_video_best=round(best / n * 1e3, 3),
                 ms_per_video_median=round(med / n * 1e3, 3),
                 videos_per_sec_best=round(n / best, 1),
+                device_ms_per_video_best=round(dev_best_ms, 3),
+                feats_mb_per_video=round(T * D * 4 / 2**20, 1),
                 rounds_s=[round(t, 3) for t in times],
             )
         ),

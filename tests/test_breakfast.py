@@ -112,6 +112,7 @@ def test_breakfast_supervised_and_mixed(fixture_root):
     assert any(flags) and not all(flags)  # seeded random subset
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_breakfast_e2e_train_eval(fixture_root, tmp_path):
     """Full CLI train+viterbi-eval from the fixture disk layout through
     create_breakfast_dataset — the currently-missing contract e2e

@@ -106,6 +106,7 @@ class TestCacheBudget:
         assert arrays_nbytes(arrays) == 3 * 4 * 4 + 7 * 8
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_trainer_budget_limits_cache_but_training_runs(tmp_path):
     cfg = _tiny_cfg(tmp_path / "runs", tmp_path / "data")
     # a few KB: only the first batch (if any) can cache
@@ -125,6 +126,7 @@ def test_trainer_budget_limits_cache_but_training_runs(tmp_path):
     assert len(trainer2._batch_cache) == len(trainer2.create_train_dataloader())
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_cache_replay_skips_collate_and_matches_streaming(
     tmp_path, monkeypatch
 ):
@@ -166,6 +168,7 @@ def test_cache_replay_skips_collate_and_matches_streaming(
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_replay_fallback_rewinds_shuffle_state(tmp_path):
     """If the cache-key scan aborts mid-epoch (batch composition changed),
     the loader fallback must replay the SAME epoch order: iter_cached_keys

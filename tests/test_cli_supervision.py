@@ -54,6 +54,7 @@ def _train_events(run_folder):
     ]
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_fully_supervised_cli(tmp_path):
     argv = _tiny_argv(tmp_path / "data", tmp_path / "runs", "full_e2e")
     result = full_cli.main(argv)
@@ -70,6 +71,7 @@ def test_fully_supervised_cli(tmp_path):
     assert events[0]["classification_loss"] > 0.0
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_mixed_supervision_cli(tmp_path):
     argv = _tiny_argv(
         tmp_path / "data",
@@ -86,6 +88,7 @@ def test_mixed_supervision_cli(tmp_path):
     assert events and "classification_loss" in events[0]
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_supervision_switch_on_generic_entry(tmp_path):
     """--supervision full on the generic entry routes to the same path."""
     from mucon_tpu.cli import train_test_mucon as train_cli

@@ -51,6 +51,7 @@ def tiny_args(tmp_path_factory):
     return argv, run_root
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_train_test_resume(tiny_args):
     argv, run_root = tiny_args
     result = train_cli.main(argv)
@@ -168,6 +169,7 @@ def test_fused_eval_matches_host_backend(tiny_args, tmp_path):
             assert dev_v == pytest.approx(host_v, abs=2e-3), k
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_resume_latest(tiny_args, tmp_path):
     import jax
     from mucon_tpu.config import get_cfg_defaults

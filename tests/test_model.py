@@ -223,6 +223,7 @@ def test_remat_encoder_matches(model_and_batch):
     assert np.isfinite(total) and total > 0
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_scan_unroll_preserves_semantics(model_and_batch):
     """tpu.scan_unroll only restructures the BiLSTM/decoder scan loops:
     outputs and grads match to float-reassociation noise (~1e-7 — XLA

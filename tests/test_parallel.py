@@ -59,6 +59,7 @@ def test_sharded_train_step_runs(setup, shape):
     assert delta > 0
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_dp_sp_matches_single_device(setup):
     """Sharding must not change the math: loss on a (2,2) mesh == loss on
     a (1,1) mesh to float tolerance."""
@@ -231,6 +232,7 @@ def test_halo_exchange_conv_matches_unsharded():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_trainer_mesh_integration(tmp_path):
     """SimpleTrainer with tpu.mesh.enable trains on the virtual mesh and
     produces the same first-step loss as the single-device trainer (same
@@ -357,6 +359,7 @@ def test_evaluator_mesh_matches_single_device(tmp_path):
             assert sv == pytest.approx(mv, abs=1e-4), k
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_trainer_mesh_grad_accumulation(tmp_path):
     """Grad accumulation under a mesh == grad accumulation single-device."""
     import json
@@ -403,6 +406,7 @@ def test_trainer_mesh_grad_accumulation(tmp_path):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_tp_checkpoint_roundtrip(tmp_path):
     """VERDICT r2 #7: save under a 2x2x2 mesh with model-sharded ft params
     + optimizer state, restore onto a fresh trainer, and check (a) the
@@ -473,6 +477,7 @@ def test_tp_checkpoint_roundtrip(tmp_path):
     t2._train_one_epoch()
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_full_depth_seq_parallel_matches_single():
     """Full-DEPTH stack (all 11 dilations 1..1024 with the 16x pooling
     ladder) under seq sharding == single device (VERDICT r2 #3).  At
@@ -633,6 +638,7 @@ def test_multihost_train_step_matches_mesh_path(setup):
     assert run(shard_batch_arrays) == run(shard_batch_arrays_multihost)
 
 
+@pytest.mark.slow  # full-model jit compiles dominate on this 1-core box (FAST-tier budget, VERDICT r3 #6)
 def test_trainer_multihost_single_process_matches_mesh(tmp_path):
     """tpu.mesh.multihost on a single process must be byte-for-byte the
     plain mesh path: same mesh, same first-step loss, checkpoints written
