@@ -190,7 +190,18 @@ class MuConEvaluator:
                 attr.reset()
 
     def evaluate(self, params) -> MuConEvaluatorResult:
+        import time as _time
+
         self.on_start_eval()
+        # wall-clock decomposition of one evaluation pass (VERDICT r3 #4):
+        # stream = batch fetch (disk+collate+transfer, or cache replay),
+        # first_dispatch = the first program call (includes compile),
+        # dispatch = remaining program calls, consume = host traceback +
+        # metric updates, finish = aggregation.  Logged by the trainer
+        # per periodic eval.
+        ph = dict(stream=0.0, first_dispatch=0.0, dispatch=0.0,
+                  consume=0.0, finish=0.0)
+        self.last_eval_phases = ph
         fused = (
             self.viterbi_backend == "device"
             and not self.viterbi_multi_length
@@ -239,8 +250,10 @@ class MuConEvaluator:
                 replicate = jax.jit(lambda t: t, out_shardings=repl)
 
             def _consume_next():
+                t0 = _time.perf_counter()
                 b, out = pending.popleft()
                 self._consume_fused(b, jax.device_get(out))
+                ph["consume"] += _time.perf_counter() - t0
 
             def _head_ready():
                 return pending and all(
@@ -248,7 +261,16 @@ class MuConEvaluator:
                     for leaf in jax.tree.leaves(pending[0][1])
                 )
 
-            for batch, arrays in self._eval_batches():
+            batches = iter(self._eval_batches())
+            first = True
+            while True:
+                t0 = _time.perf_counter()
+                nxt = next(batches, None)
+                ph["stream"] += _time.perf_counter() - t0
+                if nxt is None:
+                    break
+                batch, arrays = nxt
+                t0 = _time.perf_counter()
                 if prog is None:
                     prog = self._get_fused_program()
                 out = prog(params, arrays)
@@ -256,6 +278,10 @@ class MuConEvaluator:
                     out = replicate(out)
                 for leaf in jax.tree.leaves(out):
                     leaf.copy_to_host_async()
+                ph["first_dispatch" if first else "dispatch"] += (
+                    _time.perf_counter() - t0
+                )
+                first = False
                 pending.append((batch, out))
                 while _head_ready():
                     _consume_next()
@@ -284,7 +310,10 @@ class MuConEvaluator:
                 )
                 fwd = self.model.forward(params, arrays, train=False)
                 self.batch_eval_calculation(batch, fwd)
-        return self.on_finish_eval()
+        t0 = _time.perf_counter()
+        result = self.on_finish_eval()
+        ph["finish"] = _time.perf_counter() - t0
+        return result
 
     def _eval_mesh(self):
         """Mesh for sharded evaluation (tpu.mesh.enable; lazy, cached)."""

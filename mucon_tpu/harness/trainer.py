@@ -474,6 +474,9 @@ class SimpleTrainer:
                         f"eval_{i}",
                         epoch,
                         eval_seconds=eval_seconds,
+                        eval_phases=getattr(
+                            evaluator, "last_eval_phases", None
+                        ),
                         **{
                             k: v
                             for k, v in dataclasses.asdict(result).items()
