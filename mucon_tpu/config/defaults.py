@@ -219,14 +219,17 @@ def get_cfg_defaults() -> ConfigNode:
     # checksums identical. No VJP — training always uses the scan; f32 +
     # bidirectional + VMEM-fit required (B=128 eval falls back to the
     # scan by the VMEM gate). Same tri-state as use_pallas.
-    _C.tpu.use_pallas_decoder = False  # fused teacher-forced decoder
+    _C.tpu.use_pallas_decoder = "auto"  # fused teacher-forced decoder
     # chain (ops/decoder_pallas.py): the whole S-step attention+LSTM
     # recurrence as ONE Pallas program (and its reverse (dh, dc) chain as
     # one more), with embedding/dropout/heads/weight-grad contractions in
     # XLA. TRAIN teacher-forced traces only; f32; requires encoder and
-    # decoder hidden sizes equal; VMEM-gated with scan fallback. Same
-    # tri-state as use_pallas; default OFF until the hardware A/B
-    # validates a win (see scripts/probe_decoder_kernel_tpu.py).
+    # decoder hidden sizes equal; VMEM-gated with scan fallback. Measured
+    # on v5e at the flagship step (B=8, T=2048, dropout .25, interleaved
+    # A/B, scalar-readback sync, scripts/probe_decoder_kernel_tpu.py):
+    # 3.007 vs 3.212 ms/iter best-of-5, kernel faster in 5/5 trials;
+    # loss trajectories track the scan to the 4th decimal (independent
+    # dropout streams). Same tri-state as use_pallas.
     _C.tpu.use_pallas_loss = False  # fused mucon ("flint", box template)
     # loss kernel: masks built in VMEM, never materialized to HBM
     # (ops/mucon_loss_pallas.py); exact-grad custom VJP
