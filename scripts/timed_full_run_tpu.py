@@ -116,7 +116,7 @@ def main():
         (Path(run_root) / "timed_full_run").iterdir(),
         key=lambda p: int(p.name),
     )[-1]
-    epoch_times, eval_times, final_eval = [], [], 0.0
+    epoch_times, eval_times, eval_phases, final_eval = [], [], [], 0.0
     with open(run_folder / "events.jsonl") as f:
         for line in f:
             ev = json.loads(line)
@@ -124,6 +124,7 @@ def main():
                 epoch_times.append(ev["epoch_seconds"])
             elif ev.get("kind", "").startswith("eval_") and "eval_seconds" in ev:
                 eval_times.append(ev["eval_seconds"])
+                eval_phases.append(ev.get("eval_phases"))
             elif ev.get("kind") == "final_eval":
                 final_eval = ev.get("eval_seconds", 0.0)
 
@@ -182,6 +183,12 @@ def main():
         f"{'MET' if proj_total < 3600 else 'NOT MET'}.",
         "",
     ]
+    if eval_times:
+        lines += ["Per-eval decomposition (seconds; stream = batch fetch/"
+                  "replay, first_dispatch includes compile):", ""]
+        for k, (t, ph) in enumerate(zip(eval_times, eval_phases)):
+            lines.append(f"* eval {k}: {t:.1f} s — {ph}")
+        lines.append("")
     if epoch_times:
         lines += [
             f"Per-epoch train time: first {epoch_times[0]:.1f} s (includes "
