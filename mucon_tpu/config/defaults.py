@@ -219,6 +219,14 @@ def get_cfg_defaults() -> ConfigNode:
     # checksums identical. No VJP — training always uses the scan; f32 +
     # bidirectional + VMEM-fit required (B=128 eval falls back to the
     # scan by the VMEM gate). Same tri-state as use_pallas.
+    _C.tpu.use_pallas_lstm_train = False  # custom-VJP variant of the
+    # fused BiLSTM recurrence on TRAIN traces (ops/lstm_pallas.py
+    # bilstm_recurrence_train: fwd stashes the cell trajectory, backward
+    # runs the reverse (dh, dc) chain as one Pallas program and emits
+    # per-step dgate vectors; the w_hh gradient contracts in XLA).
+    # Default OFF until the hardware A/B validates a win
+    # (scripts/probe_lstm_train_kernel_tpu.py). Same tri-state as
+    # use_pallas.
     _C.tpu.use_pallas_decoder = "auto"  # fused teacher-forced decoder
     # chain (ops/decoder_pallas.py): the whole S-step attention+LSTM
     # recurrence as ONE Pallas program (and its reverse (dh, dc) chain as

@@ -115,6 +115,11 @@ class MaskedBiLSTM(nn.Module):
     # B=8, H=128): 0.32 vs 0.34 ms per call against the unroll-8 scan,
     # checksum-identical (scripts/probe_lstm_kernel_tpu.py). f32,
     # bidirectional, VMEM-gated; anything else falls back to the scan.
+    kernel_differentiable: bool = False  # train traces: use the custom-VJP
+    # variant (bilstm_recurrence_train — fwd stashes the cell trajectory,
+    # backward runs the reverse (dh, dc) chain as one program and emits
+    # per-step dgate vectors; w_hh grads contract in XLA). The caller
+    # (models/mucon.py) sets this per trace from tpu.use_pallas_lstm_train.
 
     def _kernel_vmem_budget(self) -> int:
         return 64 * 2**20  # the fused eval program shares VMEM; flagship
@@ -122,7 +127,10 @@ class MaskedBiLSTM(nn.Module):
 
     def _route_to_kernel(self, xs) -> bool:
         """Static (trace-time) routing for the fused recurrence kernel."""
-        from mucon_tpu.ops.lstm_pallas import bilstm_vmem_bytes
+        from mucon_tpu.ops.lstm_pallas import (
+            bilstm_train_vmem_bytes,
+            bilstm_vmem_bytes,
+        )
 
         if not resolve_pallas_flag(self.use_pallas):
             return False
@@ -135,7 +143,12 @@ class MaskedBiLSTM(nn.Module):
                 f"bilstm Tz={T} B={B}: scan (kernel is f32, got {xs.dtype})"
             )
             return False
-        need = bilstm_vmem_bytes(T, B, self.hidden_size)
+        vmem_fn = (
+            bilstm_train_vmem_bytes
+            if self.kernel_differentiable
+            else bilstm_vmem_bytes
+        )
+        need = vmem_fn(T, B, self.hidden_size)
         if need > self._kernel_vmem_budget():
             log_route(
                 f"bilstm Tz={T} B={B}: scan (kernel needs "
@@ -144,7 +157,8 @@ class MaskedBiLSTM(nn.Module):
             return False
         log_route(
             f"bilstm Tz={T} B={B}: fused Pallas recurrence "
-            f"({need / 2**20:.1f} MB VMEM)"
+            f"({'train VJP, ' if self.kernel_differentiable else ''}"
+            f"{need / 2**20:.1f} MB VMEM)"
         )
         return True
 
@@ -174,15 +188,22 @@ class MaskedBiLSTM(nn.Module):
         b_hh = jnp.stack([self.fwd.b_hh, self.bwd.b_hh])  # [2 x 4H]
 
         if self._route_to_kernel(xs):
-            from mucon_tpu.ops.lstm_pallas import bilstm_recurrence_pallas
+            from mucon_tpu.ops.lstm_pallas import (
+                bilstm_recurrence_pallas,
+                bilstm_recurrence_train,
+            )
 
             # fold b_hh in (the kernel takes fully-projected gates)
-            outs, hc, cc = bilstm_recurrence_pallas(
-                jnp.moveaxis(xp + b_hh[:, None, None, :], 2, 0),
-                m.swapaxes(0, 1),
-                w_hh,
-                interpret=jax.default_backend() == "cpu",
-            )
+            xp_folded = jnp.moveaxis(xp + b_hh[:, None, None, :], 2, 0)
+            interp = jax.default_backend() == "cpu"
+            if self.kernel_differentiable:
+                outs, hc, cc = bilstm_recurrence_train(
+                    interp, xp_folded, m.swapaxes(0, 1), w_hh
+                )
+            else:
+                outs, hc, cc = bilstm_recurrence_pallas(
+                    xp_folded, m.swapaxes(0, 1), w_hh, interpret=interp
+                )
         else:
 
             def step(carry, inp):

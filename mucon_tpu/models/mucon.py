@@ -195,9 +195,12 @@ class MuConNet(nn.Module):
     # resolve_scan_unroll — unroll only wins while the per-step work is
     # too small to hide the loop overhead).
     use_pallas_lstm: object = False  # tri-state (tpu.use_pallas_lstm):
-    # fused Pallas BiLSTM recurrence on eval/inference traces (the kernel
-    # has no VJP; train always scans). Routed per trace in MaskedBiLSTM
-    # (f32 + bidirectional + VMEM fit required).
+    # fused Pallas BiLSTM recurrence on eval/inference traces. Routed per
+    # trace in MaskedBiLSTM (f32 + bidirectional + VMEM fit required).
+    use_pallas_lstm_train: object = False  # tri-state
+    # (tpu.use_pallas_lstm_train): the custom-VJP variant on TRAIN traces
+    # (fwd stashes the cell trajectory; backward runs the reverse (dh, dc)
+    # chain as one program; w_hh grads contract in XLA).
 
     @nn.compact
     def __call__(
@@ -277,9 +280,12 @@ class MuConNet(nn.Module):
             hidden_size=H,
             bidirectional=self.enc_bidirectional,
             unroll=scan_unroll,
-            # the fused recurrence kernel has no VJP: eval/inference traces
-            # only; training keeps the differentiable scan
-            use_pallas=False if train else self.use_pallas_lstm,
+            # eval traces: the stashless fwd kernel; train traces: the
+            # custom-VJP variant (its own knob — measured separately)
+            use_pallas=(
+                self.use_pallas_lstm_train if train else self.use_pallas_lstm
+            ),
+            kernel_differentiable=train,
             name="fs_encoder_lstm",
         )(z, tz_len)
         enc_dim = 2 * H if self.enc_bidirectional else H
@@ -462,4 +468,5 @@ def build_model(cfg, num_classes: int, max_decoding_steps: int, input_feature_si
         remat_encoder=cfg.tpu.remat,
         scan_unroll=_validate_scan_unroll(cfg.tpu.scan_unroll),
         use_pallas_lstm=cfg.tpu.use_pallas_lstm,
+        use_pallas_lstm_train=cfg.tpu.use_pallas_lstm_train,
     )

@@ -454,3 +454,97 @@ def test_model_forward_mstcnpp_kernel_matches_xla():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
             )
+
+
+def test_bilstm_train_kernel_values_and_grads():
+    """Trainable fused BiLSTM recurrence (custom VJP, reverse-chain
+    backward program): values == the eval kernel/scan twin, grads ==
+    XLA autodiff of the twin, including state freezing at ragged
+    lengths."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mucon_tpu.ops.lstm_pallas import (
+        bilstm_recurrence_train,
+        bilstm_recurrence_xla,
+    )
+
+    rng = np.random.RandomState(5)
+    T, B, H = 24, 3, 16
+    xp = jnp.asarray(rng.randn(T, 2, B, 4 * H).astype(np.float32) * 0.5)
+    lengths = np.array([24, 11, 1])
+    m = jnp.asarray(
+        (np.arange(T)[:, None] < lengths[None, :]).astype(np.float32)
+    )
+    whh = jnp.asarray(rng.randn(2, H, 4 * H).astype(np.float32) * 0.2)
+
+    o_k, h_k, c_k = bilstm_recurrence_train(True, xp, m, whh)
+    o_x, h_x, c_x = bilstm_recurrence_xla(xp, m, whh)
+    for a, b in ((o_k, o_x), (h_k, h_x), (c_k, c_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+    w_o = jnp.asarray(rng.randn(T, 2, B, H).astype(np.float32))
+    w_h = jnp.asarray(rng.randn(2, B, H).astype(np.float32))
+    w_c = jnp.asarray(rng.randn(2, B, H).astype(np.float32))
+
+    def loss_k(xp, whh):
+        o, h, c = bilstm_recurrence_train(True, xp, m, whh)
+        return jnp.sum(o * w_o) + jnp.sum(h * w_h) + jnp.sum(c * w_c)
+
+    def loss_x(xp, whh):
+        o, h, c = bilstm_recurrence_xla(xp, m, whh)
+        return jnp.sum(o * w_o) + jnp.sum(h * w_h) + jnp.sum(c * w_c)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(xp, whh)
+    gx = jax.grad(loss_x, argnums=(0, 1))(xp, whh)
+    for name, a, b in zip(("xp", "w_hh"), gk, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_masked_bilstm_module_train_kernel_grads_match_scan():
+    """MaskedBiLSTM(kernel_differentiable=True) through the MODULE: values
+    AND parameter/input grads equal the scan path (b_hh folding,
+    valid-prefix reverse, output concat, final h/c all inside the
+    differentiated graph)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mucon_tpu.models.lstm import MaskedBiLSTM
+
+    rng = np.random.RandomState(11)
+    B, T, I, H = 3, 18, 6, 8
+    lengths = jnp.asarray(np.array([18, 9, 2]))
+    xs = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    w_o = jnp.asarray(rng.randn(B, T, 2 * H).astype(np.float32))
+    w_h = jnp.asarray(rng.randn(B, 2 * H).astype(np.float32))
+
+    base = MaskedBiLSTM(input_size=I, hidden_size=H)
+    kern = MaskedBiLSTM(input_size=I, hidden_size=H, use_pallas=True,
+                        kernel_differentiable=True)
+    params = base.init(jax.random.PRNGKey(0), xs, lengths)["params"]
+
+    def loss(mod, p, xs):
+        out, (h, c) = mod.apply({"params": p}, xs, lengths)
+        return jnp.sum(out * w_o) + jnp.sum(h * w_h) + jnp.sum(c * w_h)
+
+    lk, gk = jax.value_and_grad(
+        lambda p, x: loss(kern, p, x), argnums=(0, 1)
+    )(params, xs)
+    ls, gs = jax.value_and_grad(
+        lambda p, x: loss(base, p, x), argnums=(0, 1)
+    )(params, xs)
+    np.testing.assert_allclose(float(lk), float(ls), rtol=1e-6)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gk),
+        jax.tree_util.tree_leaves_with_path(gs),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}",
+        )
