@@ -33,8 +33,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30  # -inf stand-in: exp(_NEG - max) underflows to exactly 0.0
+_VMEM_LIMIT = 110 * 1024 * 1024  # Mosaic's 16 MB scoped-vmem default
+# OOMs the backward program past ~B=32/Tz=160 (measured: 17.9 MB at
+# B=32/Tz=192); v5e has headroom, same limit as the wavenet kernels
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +233,12 @@ def _chain_call(interpret, emb, enc, pre, maskf, h0, c0,
         jax.ShapeDtypeStruct((S, B, H), jnp.float32),
         jax.ShapeDtypeStruct((S, B, H), jnp.float32),
     )
-    return pl.pallas_call(_chain_fwd_kernel, out_shape=outs, interpret=interpret)(
+    return pl.pallas_call(
+        _chain_fwd_kernel,
+        out_shape=outs,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(
         emb, enc, pre, maskf, h0, c0,
         wl2, _row(bl2), _row(v), wc1, wc2, _row(bc), wih, whh, _row(bl),
     )
@@ -287,7 +296,10 @@ def _chain_bwd_rule(interpret, res, cts):
         jax.ShapeDtypeStruct((B, H), jnp.float32),
     )
     dgate, dcpre, dsc, dh0, dc0 = pl.pallas_call(
-        _chain_bwd_kernel, out_shape=outs, interpret=interpret
+        _chain_bwd_kernel,
+        out_shape=outs,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(
         emb, enc, pre, maskf, h_in, c_in,
         wl2, _row(bl2), _row(v), wc1, wc2, _row(bc), wih, whh, _row(bl),
