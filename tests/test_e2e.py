@@ -202,3 +202,41 @@ def test_resume_latest(tiny_args, tmp_path):
     # fresh exp has nothing to resume
     t3 = SimpleTrainer(cfg, "resume_test_empty", train_db, model)
     assert t3.resume_latest() is False
+
+
+def test_single_shape_eval_matches_bucketed(tiny_args, tmp_path):
+    """tpu.eval_single_shape (one padded (batch_size, T_max) shape for
+    the whole fused pass — dummy-video row padding + fixed T) produces
+    the IDENTICAL 24-field result as per-batch bucket shapes: padding
+    exactness is the framework invariant this knob leans on."""
+    import jax
+    from mucon_tpu.config import get_cfg_defaults
+    from mucon_tpu.data import handel_dataset
+    from mucon_tpu.harness import MuConEvaluator
+    from mucon_tpu.models import create_model
+
+    argv, _ = tiny_args
+    cfg = get_cfg_defaults()
+    it = iter(argv)
+    for a in it:
+        if a == "--set":
+            k, v = next(it), next(it)
+            cfg.merge_from_list([k, v])
+    cfg.trainer.root = str(tmp_path)
+    cfg.tpu.batch_size = 3  # test split has 2 videos -> a padded row
+
+    test_db = handel_dataset(cfg, train=False)
+    assert len(test_db) % cfg.tpu.batch_size != 0  # exercise row padding
+    model = create_model(cfg, test_db.get_num_classes(),
+                         test_db.max_transcript_length + 1, test_db.feat_dim)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    results = {}
+    for single in (True, False):
+        c = cfg.clone()
+        c.tpu.eval_single_shape = single
+        ev = MuConEvaluator(cfg=c, test_db=test_db, model=model)
+        ev.viterbi_mode(True)
+        results[single] = dataclasses.asdict(ev.evaluate(params))
+
+    assert results[True] == results[False]
