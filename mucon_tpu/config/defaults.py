@@ -211,6 +211,18 @@ def get_cfg_defaults() -> ConfigNode:
     # saving cannot repay. "auto" therefore keeps kernel matmuls f32 even
     # under tpu.compute_dtype=bfloat16 (the 2048->128 in-projection, a
     # genuinely MXU-bound matmul, still uses bf16 operands there).
+    _C.tpu.in_proj_mm_dtype = "auto"  # OPERAND dtype of the D->H input
+    # projection matmul (the [B*T x 2048] dot feeding the kernel stack —
+    # 50% of forward FLOPs): "auto" | "float32" | "bfloat16". "auto"
+    # follows tpu.compute_dtype (bf16 operands iff the model computes in
+    # bf16). MEASURED on v5e (scripts/probe_inproj_tpu.py, flagship step,
+    # 2x interleaved best-of-5/8): explicit bf16 operands AND/OR
+    # bf16-RESIDENT features are perf-NEUTRAL (all arms within ~2%, no
+    # consistent ordering across runs) and numerics-IDENTICAL (identical
+    # 10-step loss trajectories) — XLA's TPU default matmul precision
+    # already truncates f32 dot operands to bf16 MXU passes, so the
+    # "f32-MXU-bound in-projection" lever does not exist. The knob stays
+    # for explicit control under non-default jax matmul precision.
     _C.tpu.use_pallas_lstm = "auto"  # fused BiLSTM recurrence kernel
     # (ops/lstm_pallas.py) on EVAL/INFERENCE traces: the whole two-direction
     # masked recurrence runs as one Pallas program with weights and state

@@ -360,7 +360,15 @@ class MuConModel:
     def _in_proj_mm_dtype(self):
         """bf16 MXU operands (f32 accumulation) for the 2048->H input
         projection when the model computes in bf16: a [B*T x 2048] matmul
-        with K=2048 is genuinely MXU-bound, unlike the C=128 kernel body."""
+        with K=2048 is genuinely MXU-bound, unlike the C=128 kernel body.
+        tpu.in_proj_mm_dtype overrides per-matmul: explicit "bfloat16"
+        targets ONLY this projection (pair with a bf16 feature wire so the
+        cached feats are bf16-resident and no upcast pass is paid)."""
+        knob = self.cfg.tpu.in_proj_mm_dtype
+        if knob == "bfloat16":
+            return jnp.bfloat16
+        if knob == "float32":
+            return None
         if self.cfg.tpu.compute_dtype == "bfloat16":
             return jnp.bfloat16
         return None

@@ -378,3 +378,43 @@ def test_early_exit_free_decode_matches_scan(model_and_batch):
     np.testing.assert_allclose(
         np.asarray(a2.transcript[:, :1]), np.asarray(b2.transcript[:, :1]),
         rtol=1e-6, atol=1e-6)
+
+
+def test_in_proj_mm_dtype_resolution_and_numerics(model_and_batch):
+    """tpu.in_proj_mm_dtype: "auto" follows compute_dtype; explicit
+    "bfloat16" targets ONLY the D->H input projection (the kernel paths'
+    [B*T x D] matmul — 50% of forward FLOPs at the flagship shapes);
+    explicit "float32" keeps f32 matmuls even under bf16 compute."""
+    cfg, model, params, batch, _ = model_and_batch
+
+    def resolved(knob, compute="float32"):
+        c = cfg.clone()
+        c.tpu.in_proj_mm_dtype = knob
+        c.tpu.compute_dtype = compute
+        m = create_model(c, num_classes=M, max_decoding_steps=NMAX + 1,
+                         input_feature_size=D)
+        return m, m._in_proj_mm_dtype()
+
+    assert resolved("auto")[1] is None
+    assert resolved("auto", "bfloat16")[1] == jnp.bfloat16
+    assert resolved("bfloat16")[1] == jnp.bfloat16
+    assert resolved("float32", "bfloat16")[1] is None
+
+    ft = params["ft"]
+    w, b = ft["Conv1x1_0"]["kernel"], ft["Conv1x1_0"]["bias"]
+    feats = jnp.asarray(batch.feats)
+
+    m32, _ = resolved("float32")
+    mbf, _ = resolved("bfloat16")
+    y32 = np.asarray(m32._in_projection(feats, w, b))
+    # bf16 operands, f32 accumulation: output stays f32 and tracks the
+    # f32 matmul to bf16 mantissa precision
+    ybf = mbf._in_projection(feats, w, b)
+    assert ybf.dtype == jnp.float32
+    scale = np.abs(y32).max() + 1e-9
+    assert np.abs(np.asarray(ybf) - y32).max() / scale < 2e-2
+    # bf16-RESIDENT feats (the bf16 feature wire's cached form) feed the
+    # bf16 matmul with no upcast and land within the same tolerance
+    ybf_res = mbf._in_projection(feats.astype(jnp.bfloat16), w, b)
+    assert ybf_res.dtype == jnp.float32
+    assert np.abs(np.asarray(ybf_res) - y32).max() / scale < 2e-2
