@@ -44,10 +44,16 @@ def _bt_mask(b, t, lengths):
 def _matmul_bt(x, w, mm_dtype=None):
     """[B x T x C] @ [C x C'] through a flattened (B*T, C) MXU matmul.
 
-    `mm_dtype=bfloat16` feeds the MXU bf16 operands (2x MXU throughput,
-    half the operand VMEM traffic) while ALWAYS accumulating in f32; the
-    residual state stays f32 in every kernel, so the bf16 mode is strictly
-    more precise than an end-to-end XLA bf16 stack."""
+    Precision note (measured, scripts/probe_mosaic_precision_tpu.py on
+    v5e): Mosaic lowers this f32 dot exactly like XLA's DEFAULT matmul
+    precision — ONE bf16 MXU pass per operand pair, f32 accumulation
+    (max rel err equals the bf16-truncated-operand floor, 2.4e-3 on
+    uniform operands; precision=HIGHEST restores true f32 at ~2e-7).
+    So `mm_dtype=bfloat16` saves only operand VMEM traffic, NOT MXU
+    passes — which is why the in-kernel bf16 cast mode measured as a
+    1.67x regression (the VPU cast cost has no MXU saving to repay;
+    see docs/ROOFLINE.md).  Accumulation and the residual state stay
+    f32 in every kernel either way."""
     B, T, C = x.shape
     a = x.reshape(B * T, C)
     if mm_dtype is not None and a.dtype != mm_dtype:
