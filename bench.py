@@ -80,9 +80,56 @@ def _device_init_watchdog(timeout_s: float) -> None:
     done.set()
 
 
+_PARTIAL = {"phase": "startup"}
+_DONE = None  # set by _total_watchdog
+
+
+def _mark(phase, **vals):
+    """Record bench progress for the whole-run watchdog."""
+    _PARTIAL["phase"] = phase
+    _PARTIAL.update(vals)
+
+
+def _total_watchdog(timeout_s: float) -> None:
+    """Emit a best-known JSON line and exit if the WHOLE bench exceeds
+    timeout_s.  The axon remote-compile service sometimes hangs a
+    compile RPC forever (futex-wait, no error — observed 2026-08-21:
+    two bench runs sat >20 min at ~15 s of CPU inside the first
+    train-step compile).  _compile_retry only catches RAISED transient
+    errors; this guards the silent-hang mode so the driver always gets
+    a JSON line with whatever phases completed."""
+    import threading
+
+    global _DONE
+    _DONE = threading.Event()
+
+    def watch():
+        if _DONE.wait(timeout_s):
+            return
+        train_vps = _PARTIAL.get("train_vps", 0.0)
+        out = {
+            "metric": "train_videos_per_sec_per_chip",
+            "value": round(train_vps, 3),
+            "unit": "videos/s",
+            "vs_baseline": round(train_vps / BASELINE_VIDEOS_PER_SEC, 3),
+            "error": f"bench exceeded {timeout_s:.0f}s in phase "
+                     f"'{_PARTIAL.get('phase')}' (remote compile hang?)",
+        }
+        for k in ("eval_vps", "train_vps_h2d"):
+            if k in _PARTIAL:
+                out[k] = round(_PARTIAL[k], 3)
+        print(json.dumps(out), flush=True)
+        os._exit(4)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     _device_init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", "900")))
+    # generous whole-run ceiling: a healthy full bench is 10-20 min; the
+    # remote-compile silent-hang mode is the only thing that exceeds this
+    _total_watchdog(float(os.environ.get("BENCH_TOTAL_TIMEOUT", "4500")))
 
     import jax
     import jax.numpy as jnp
@@ -164,6 +211,7 @@ def main():
         # force real completion: a scalar readback dependent on the result
         return float(jnp.sum(jax.tree.leaves(tree)[0]))
 
+    _mark("train-step-compile")
     for i in range(steps_warmup):
         key, k = jax.random.split(key)
         params, opt_state = _compile_retry(
@@ -195,10 +243,12 @@ def main():
 
     # NOTE: timing always ends with a scalar device_get — block_until_ready
     # on donated outputs has proven unreliable over the remote TPU tunnel
+    _mark("train-k-steps-compile")
     params, opt_state, loss = _compile_retry(
         train_k_steps, params, opt_state, key, arrays
     )
     float(loss)  # compile + sync
+    _mark("train-measure")
     # each rep chains steps_measure (>=160 at B=8) full steps in one
     # device program = >=1280 videos of work; report the BEST rep — the
     # rig's cross-rep variance is +-10% (tunnel/service noise, see
@@ -214,6 +264,7 @@ def main():
     assert np.isfinite(final_loss), final_loss
     train_vps_all = [B * steps_measure / dt for dt in train_dts]
     train_vps = max(train_vps_all)
+    _mark("h2d-measure", train_vps=train_vps)
 
     # same steps but paying host->device transfer of the feature batch each
     # step (the realistic end-to-end number when the input pipeline feeds
@@ -284,6 +335,7 @@ def main():
             )
             return params, opt_state, losses[-1]
 
+        _mark("bf16-compile")
         params16, opt16, loss16 = _compile_retry(
             train_k_steps16, params16, opt16, key, arrays)
         float(loss16)
@@ -334,7 +386,9 @@ def main():
     def eval_once():
         consume(fused(params, eval_arrays))
 
+    _mark("eval-compile", train_vps_h2d=train_vps_h2d)
     _compile_retry(eval_once)  # compile
+    _mark("eval-measure")
 
     # is_ready-drain async pipeline, mirroring MuConEvaluator.evaluate():
     # dispatch ahead with async d2h copies and consume only outputs whose
@@ -388,6 +442,8 @@ def main():
             return None
         return round(100.0 * (max(vals) - min(vals)) / (2 * max(vals)), 2)
 
+    if _DONE is not None:
+        _DONE.set()
     print(
         json.dumps(
             {
