@@ -82,29 +82,51 @@ def _device_init_watchdog(timeout_s: float) -> None:
 
 _PARTIAL = {"phase": "startup"}
 _DONE = None  # set by _total_watchdog
+_DEADLINE = None  # monotonic deadline, pushed forward by _mark
+_PHASE_TIMEOUT = None
 
 
 def _mark(phase, **vals):
-    """Record bench progress for the whole-run watchdog."""
+    """Record bench progress for the whole-run watchdog.  Each mark
+    EXTENDS the watchdog deadline (per-phase timeout): a healthy
+    cold-cache bench under compile-service load has been observed at
+    ~850 s for a single program, so a fixed whole-run ceiling would
+    kill slow-but-progressing runs (ADVICE r4)."""
+    global _DEADLINE
     _PARTIAL["phase"] = phase
     _PARTIAL.update(vals)
+    if _PHASE_TIMEOUT is not None:
+        _DEADLINE = time.monotonic() + _PHASE_TIMEOUT
 
 
 def _total_watchdog(timeout_s: float) -> None:
-    """Emit a best-known JSON line and exit if the WHOLE bench exceeds
-    timeout_s.  The axon remote-compile service sometimes hangs a
-    compile RPC forever (futex-wait, no error — observed 2026-08-21:
-    two bench runs sat >20 min at ~15 s of CPU inside the first
-    train-step compile).  _compile_retry only catches RAISED transient
-    errors; this guards the silent-hang mode so the driver always gets
-    a JSON line with whatever phases completed."""
+    """Emit a best-known JSON line and exit if the bench goes timeout_s
+    without making phase progress.  The axon remote-compile service
+    sometimes hangs a compile RPC forever (futex-wait, no error —
+    observed 2026-08-21: two bench runs sat >20 min at ~15 s of CPU
+    inside the first train-step compile).  _compile_retry only catches
+    RAISED transient errors; this guards the silent-hang mode so the
+    driver always gets a JSON line with whatever phases completed.
+    The deadline is pushed forward by every _mark(), so only a phase
+    that is genuinely stuck for timeout_s trips it."""
     import threading
 
-    global _DONE
+    global _DONE, _DEADLINE, _PHASE_TIMEOUT
     _DONE = threading.Event()
+    _PHASE_TIMEOUT = timeout_s
+    _DEADLINE = time.monotonic() + timeout_s
 
     def watch():
-        if _DONE.wait(timeout_s):
+        while True:
+            remaining = _DEADLINE - time.monotonic()
+            if remaining > 0:
+                if _DONE.wait(remaining):
+                    return
+                continue  # deadline may have been extended meanwhile
+            break
+        # re-check completion right before emitting: if main finished in
+        # the same instant, let ITS JSON line be the only one (ADVICE r4)
+        if _DONE.is_set():
             return
         train_vps = _PARTIAL.get("train_vps", 0.0)
         out = {
@@ -112,10 +134,10 @@ def _total_watchdog(timeout_s: float) -> None:
             "value": round(train_vps, 3),
             "unit": "videos/s",
             "vs_baseline": round(train_vps / BASELINE_VIDEOS_PER_SEC, 3),
-            "error": f"bench exceeded {timeout_s:.0f}s in phase "
+            "error": f"bench stalled >{timeout_s:.0f}s in phase "
                      f"'{_PARTIAL.get('phase')}' (remote compile hang?)",
         }
-        for k in ("eval_vps", "train_vps_h2d"):
+        for k in ("eval_vps", "eval_device_vps", "train_vps_h2d"):
             if k in _PARTIAL:
                 out[k] = round(_PARTIAL[k], 3)
         print(json.dumps(out), flush=True)
@@ -127,9 +149,10 @@ def _total_watchdog(timeout_s: float) -> None:
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     _device_init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", "900")))
-    # generous whole-run ceiling: a healthy full bench is 10-20 min; the
-    # remote-compile silent-hang mode is the only thing that exceeds this
-    _total_watchdog(float(os.environ.get("BENCH_TOTAL_TIMEOUT", "4500")))
+    # per-PHASE stall ceiling (deadline extends on every _mark): healthy
+    # phases finish in minutes; compile-service latency has been observed
+    # at ~850 s for one program, so 2400 s of NO progress ⇒ silent hang
+    _total_watchdog(float(os.environ.get("BENCH_TOTAL_TIMEOUT", "2400")))
 
     import jax
     import jax.numpy as jnp
@@ -417,6 +440,21 @@ def main():
             consume(pending.popleft())
         return time.perf_counter() - t0
 
+    # DEVICE-BOUND eval rate: n chained dispatches, ONE scalar readback
+    # at the end — no per-batch d2h, so the number is the device's
+    # execution rate for the fused program, immune to tunnel health
+    # (the pipelined number below swings 16-36 ms/batch with d2h tunnel
+    # state — docs/EVAL_PROFILE.md "cross-day variance" — while this
+    # bound has read a stable 15.4-15.8 ms across days).  This is the
+    # cross-round comparable eval metric (VERDICT r4 #1).
+    def eval_device_round(n_batches):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(n_batches):
+            last = fused(params, eval_arrays)
+        float(jnp.sum(jax.tree.leaves(last)[0]))  # scalar-readback sync
+        return (time.perf_counter() - t0) / n_batches
+
     # Shape note: EVAL_B=128 batches padded to Tpad=2560 (T_MAX=2100,
     # pad_multiple=512), reps=16 batches per round — the SAME shape as the
     # docs/EVAL_PROFILE.md is_ready-drain probe, so the two numbers are
@@ -424,15 +462,29 @@ def main():
     # round-3 artifact's 12.3% spread came from timing the very first
     # pipelined round, which still pays allocator/dispatch warmup after
     # the train phase), then >=4 timed rounds, median + best reported
-    # (VERDICT r3 #2).
+    # (VERDICT r3 #2).  Device-bound rounds are INTERLEAVED with the
+    # pipelined rounds: if the pipelined rate decays across rounds while
+    # the device-bound rate holds, the drift is d2h/host-side (tunnel
+    # queue / consume backlog), not device-side — the round-4 artifact's
+    # monotonic 5966→3199 decay needed exactly this discriminator.
     reps = 2 if small else 16
     rounds = 1 if small else 4
     eval_pipelined(2 if small else 4)  # warmup, untimed
-    eval_vps_all = [
-        EVAL_B * reps / eval_pipelined(reps) for _ in range(rounds)
-    ]
+    eval_device_round(reps)  # warmup, untimed
+    eval_vps_all = []
+    eval_device_ms_all = []
+    for _ in range(rounds):
+        eval_device_ms_all.append(eval_device_round(reps) * 1e3)
+        eval_vps_all.append(EVAL_B * reps / eval_pipelined(reps))
+        _mark(
+            "eval-measure",
+            eval_vps=max(eval_vps_all),
+            eval_device_vps=EVAL_B / min(eval_device_ms_all) * 1e3,
+        )
     eval_vps = max(eval_vps_all)
     eval_vps_median = float(np.median(eval_vps_all))
+    eval_device_ms_median = float(np.median(eval_device_ms_all))
+    eval_device_vps = EVAL_B / eval_device_ms_median * 1e3
 
     def spread_pct(vals):
         """Half the max-min spread as a fraction of the best value — the
@@ -466,6 +518,20 @@ def main():
                 "eval_viterbi_videos_per_sec": round(eval_vps, 3),
                 "eval_viterbi_videos_per_sec_median": round(
                     eval_vps_median, 3
+                ),
+                # device-bound eval: chained dispatch + one scalar
+                # readback — execution rate of the fused program with no
+                # per-batch d2h; stable across tunnel-health swings and
+                # the number future rounds should compare (VERDICT r4 #1)
+                "eval_device_ms_per_batch_median": round(
+                    eval_device_ms_median, 3
+                ),
+                "eval_device_videos_per_sec": round(eval_device_vps, 3),
+                "eval_device_ms_reps": [
+                    round(v, 2) for v in eval_device_ms_all
+                ],
+                "eval_device_spread_pct": spread_pct(
+                    [EVAL_B / v * 1e3 for v in eval_device_ms_all]
                 ),
                 # shape of the eval measurement — identical to the
                 # docs/EVAL_PROFILE.md probe (B=128, Tpad=2560, 16

@@ -369,6 +369,11 @@ class MuConModel:
             return jnp.bfloat16
         if knob == "float32":
             return None
+        if knob != "auto":
+            raise ValueError(
+                "tpu.in_proj_mm_dtype must be one of 'auto'/'float32'/"
+                f"'bfloat16', got {knob!r}"
+            )
         if self.cfg.tpu.compute_dtype == "bfloat16":
             return jnp.bfloat16
         return None
@@ -387,6 +392,11 @@ class MuConModel:
             return jnp.bfloat16
         if knob == "float32":
             return None
+        if knob != "auto":
+            raise ValueError(
+                "tpu.kernel_mm_dtype must be one of 'auto'/'float32'/"
+                f"'bfloat16', got {knob!r}"
+            )
         return None  # "auto": f32 wins at this model's channel width
 
     def _encode_pallas(self, params, batch_arrays):

@@ -71,7 +71,10 @@ def _timed_kernel(precision, a_ref, b_ref, o_ref):
             y = jnp.dot(a_ref[:], b_ref[:],
                         preferred_element_type=jnp.float32,
                         precision=precision)
-        return acc + y[0, :]
+        # consume the FULL product: reducing only one row would let the
+        # compiler legally narrow the dot and invalidate the TFLOP/s
+        # figure computed from the full 2*TM*TK*TN flop count (ADVICE r4)
+        return acc + jnp.sum(y, axis=0)
     o_ref[:] = jax.lax.fori_loop(0, REPS, body, jnp.zeros((TN,), jnp.float32))
 
 
