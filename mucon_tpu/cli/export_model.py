@@ -37,6 +37,13 @@ def main(argv=None):
     p.add_argument("--pad-to", type=int, default=2048,
                    help="frozen time dim (multiple of tpu.pad_multiple)")
     p.add_argument("--viterbi-max-len", type=int, default=2000)
+    p.add_argument("--feats-wire", default="float32",
+                   choices=["float32", "float16", "bfloat16", "int8"],
+                   help="feature INPUT wire frozen into the artifact: the "
+                        "f32 export is ~99.7%% feature-transfer-bound end "
+                        "to end (docs/EVAL_PROFILE.md), so bfloat16 "
+                        "(numerics-identical on TPU) or int8 (per-frame "
+                        "quantized) cut serving latency ~2-4x")
     p.add_argument("--root", default="")
     p.add_argument("--no-selftest", action="store_true",
                    help="skip the deserialize-and-compare check")
@@ -68,9 +75,11 @@ def main(argv=None):
         model, params, cfg, db,
         batch_size=args.batch_size, pad_to=args.pad_to,
         out_dir=args.out, viterbi_max_len=args.viterbi_max_len,
+        feats_wire=args.feats_wire,
     )
     print(f"exported {args.identifier} -> {args.out} "
-          f"(B={args.batch_size}, T={args.pad_to})")
+          f"(B={args.batch_size}, T={args.pad_to}, "
+          f"feats_wire={args.feats_wire})")
 
     if not args.no_selftest:
         # round-trip: the deserialized artifact must reproduce the live
@@ -88,9 +97,13 @@ def main(argv=None):
         serve, template = build_serving_fn(
             model, params, cfg, db, args.batch_size, args.pad_to,
             viterbi_max_len=args.viterbi_max_len,
+            feats_wire=args.feats_wire,
         )
+        # feed the live program the SAME wire arrays the artifact saw so
+        # lossy wires still compare bitwise
+        wire = served.to_wire(feats)
         want = jax.device_get(jax.jit(serve)(
-            feats, nf.astype(template["num_frames"].dtype)))
+            *wire, nf.astype(template["num_frames"].dtype)))
         for k in want:
             np.testing.assert_array_equal(np.asarray(got[k]),
                                           np.asarray(want[k]), err_msg=k)

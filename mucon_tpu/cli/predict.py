@@ -29,7 +29,11 @@ from mucon_tpu.data.general_dataset import Sample
 from mucon_tpu.data.utils import create_tf_input, create_tf_target
 from mucon_tpu.harness.checkpoint import load_checkpoint
 from mucon_tpu.models import create_model
-from mucon_tpu.models.model import batch_to_arrays, resolve_pallas_flag
+from mucon_tpu.models.model import (
+    batch_to_arrays,
+    resolve_eval_feats_dtype,
+    resolve_pallas_flag,
+)
 from mucon_tpu.ops.eval_fused import build_fused_eval, unpack_eval_wire
 from mucon_tpu.ops.viterbi import positions_to_results
 
@@ -70,8 +74,16 @@ def predict_videos(model, params, feats_list, names, cfg, db):
         batch = collate_padded(samples, n_max, cfg.tpu.pad_multiple)
         import jax
 
+        # honor the eval feature wire (tpu.eval_feats_transfer_dtype):
+        # prediction is transfer-bound on thin links (the hw-validated
+        # export is 99.7% f32 feature wire — docs/EVAL_PROFILE.md), and
+        # the lossy wires are the evaluator's own convergence-validated
+        # machinery (bfloat16 is numerics-identical on TPU)
+        arrays = batch_to_arrays(
+            batch, feats_dtype=resolve_eval_feats_dtype(cfg)
+        )
         out = unpack_eval_wire(
-            jax.device_get(run(params, batch_to_arrays(batch))),
+            jax.device_get(run(params, arrays)),
             n_steps_dim=model.max_decoding_steps,
             n_max=batch.transcript.shape[1],
         )
@@ -110,6 +122,10 @@ def main(argv=None):
                    help="directory of <video>.npy [T x D] feature files")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--root", default="")
+    p.add_argument("--feats-wire", default=None,
+                   choices=["float32", "float16", "bfloat16", "int8"],
+                   help="override tpu.eval_feats_transfer_dtype for this "
+                        "prediction run (h2d feature wire format)")
     args = p.parse_args(argv)
 
     cfg = get_cfg_defaults()
@@ -119,6 +135,8 @@ def main(argv=None):
     cfg.merge_from_file(str(run_folder / "config.yaml"))
     cfg.defrost()
     cfg.trainer.root = root
+    if args.feats_wire is not None:
+        cfg.tpu.eval_feats_transfer_dtype = args.feats_wire
     cfg.freeze()
 
     # the dataset supplies the label vocabulary + shape contract only

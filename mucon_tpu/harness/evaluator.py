@@ -376,19 +376,9 @@ class MuConEvaluator:
         """tpu.eval_feats_transfer_dtype: eval feature wire format.
         float32 (default) keeps exact metric parity; float16/bfloat16
         halve eval HBM + wire bytes (the model upcasts on device)."""
-        t = getattr(self.cfg.tpu, "eval_feats_transfer_dtype", "float32")
-        if t in (None, "float32"):
-            return None
-        if t in ("float16", "bfloat16"):
-            import jax.numpy as jnp
+        from mucon_tpu.models.model import resolve_eval_feats_dtype
 
-            return jnp.dtype(t)
-        if t == "int8":  # quantized wire (models/model.py)
-            return "int8"
-        raise ValueError(
-            f"Invalid tpu.eval_feats_transfer_dtype {t!r} "
-            "(use 'float32'|'float16'|'bfloat16'|'int8')"
-        )
+        return resolve_eval_feats_dtype(self.cfg)
 
     def _make_arrays(self, batch: PaddedBatch) -> dict:
         mesh = self._eval_mesh()

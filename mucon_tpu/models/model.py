@@ -652,6 +652,26 @@ def batch_to_host_arrays(batch: PaddedBatch, feats_dtype=None) -> dict:
     )
 
 
+def resolve_eval_feats_dtype(cfg):
+    """`tpu.eval_feats_transfer_dtype` -> the `feats_dtype` argument for
+    batch_to_arrays/batch_to_host_arrays: None for the exact f32 default,
+    a jnp dtype for the half-width wires (bfloat16 is numerics-IDENTICAL
+    to f32 on TPU — docs/ROOFLINE.md lever 9), or the 'int8' sentinel
+    for the quantized wire.  Shared by the evaluator and cli/predict so
+    the serving surface honors the same knob as eval."""
+    t = getattr(cfg.tpu, "eval_feats_transfer_dtype", "float32")
+    if t in (None, "float32"):
+        return None
+    if t in ("float16", "bfloat16"):
+        return jnp.dtype(t)
+    if t == "int8":  # quantized wire (quantize_feats_int8)
+        return "int8"
+    raise ValueError(
+        f"Invalid tpu.eval_feats_transfer_dtype {t!r} "
+        "(use 'float32'|'float16'|'bfloat16'|'int8')"
+    )
+
+
 def batch_to_arrays(batch: PaddedBatch, feats_dtype=None) -> dict:
     """Device-transferable dict view of a PaddedBatch.  `feats_dtype`
     (e.g. bfloat16) casts features before transfer — halves wire + HBM

@@ -72,15 +72,47 @@ def _template_arrays(db, cfg, batch_size: int, pad_to: int):
     return arrays
 
 
+FEATS_WIRES = ("float32", "float16", "bfloat16", "int8")
+
+
+def feats_wire_dtype(wire: str):
+    """Numpy dtype of the on-the-wire feature array for a wire name.
+    ('int8' additionally carries a float32 per-frame scale array — see
+    models/model.py quantize_feats_int8.)"""
+    if wire not in FEATS_WIRES:
+        raise ValueError(
+            f"feats_wire must be one of {FEATS_WIRES}, got {wire!r}"
+        )
+    if wire == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(wire)
+
+
 def build_serving_fn(model, params, cfg, db, batch_size: int, pad_to: int,
-                     viterbi_max_len: int = 2000):
-    """Jittable `serve(feats [B,T,D] f32, num_frames [B] i32) -> wire dict`
+                     viterbi_max_len: int = 2000,
+                     feats_wire: str = "float32"):
+    """Jittable `serve(feats [B,T,D], num_frames [B] i32) -> wire dict`
     with the trained params closed over.  The wire is the fused eval
-    program's 2-leaf output (unpack with `unpack_eval_wire`)."""
+    program's 2-leaf output (unpack with `unpack_eval_wire`).
+
+    `feats_wire` selects the FEATURE INPUT wire format — the same lossy
+    wires the trainer/evaluator ship (tpu.eval_feats_transfer_dtype):
+    float16/bfloat16 halve the dominant transfer (the program upcasts on
+    device; bfloat16 is numerics-IDENTICAL to f32 on TPU because the
+    in-projection matmul truncates operands to bf16 anyway — measured,
+    docs/ROOFLINE.md lever 9), int8 quarters it (per-frame symmetric
+    quantization; the scale rides as a second input and the program
+    dequantizes on device).  The serving hw validation showed the f32
+    export is 99.7% feature-wire-bound end-to-end (docs/EVAL_PROFILE.md),
+    so this is THE serving latency lever.  int8 signature:
+    `serve(q [B,T,D] int8, scale [B,T] f32, num_frames)`."""
     import jax.numpy as jnp
 
     from mucon_tpu.ops.eval_fused import build_fused_eval
 
+    feats_wire_dtype(feats_wire)  # validate early
     model.set_teacher_forcing(False)
     run = build_fused_eval(
         model,
@@ -92,39 +124,70 @@ def build_serving_fn(model, params, cfg, db, batch_size: int, pad_to: int,
     )
     template = _template_arrays(db, cfg, batch_size, pad_to)
 
-    def serve(feats, num_frames):
+    def _arrays(num_frames):
         # bake the dummy-collate values, NOT zeros: free decode still
         # reads the SOS start token from tf_input[:, 0] (models/
         # mucon.py:306) — exactly what cli/predict.py feeds for unknown
         # transcripts
         arrays = {k: jnp.asarray(v) for k, v in template.items()}
-        arrays["feats"] = feats.astype(jnp.float32)
         arrays["num_frames"] = num_frames.astype(
             template["num_frames"].dtype
         )
-        return run(params, arrays)
+        return arrays
+
+    if feats_wire == "int8":
+
+        def serve(feats, feats_scale, num_frames):
+            arrays = _arrays(num_frames)
+            # model.forward dequantizes on device when feats_scale is
+            # present (models/model.py:144) — same path the evaluator's
+            # int8 eval wire exercises
+            arrays["feats"] = feats
+            arrays["feats_scale"] = feats_scale.astype(jnp.float32)
+            return run(params, arrays)
+
+    else:
+
+        def serve(feats, num_frames):
+            arrays = _arrays(num_frames)
+            # f16/bf16 wires ride as-is; the model upcasts on device
+            # (the cast fuses into the in-projection's producer)
+            arrays["feats"] = feats
+            return run(params, arrays)
 
     return serve, template
 
 
 def export_serving(model, params, cfg, db, batch_size: int, pad_to: int,
-                   out_dir, viterbi_max_len: int = 2000):
+                   out_dir, viterbi_max_len: int = 2000,
+                   feats_wire: str = "float32"):
     """Export the serving fn at (batch_size, pad_to) and write the
-    artifact + metadata.  Returns the jax.export.Exported object."""
+    artifact + metadata.  Returns the jax.export.Exported object.
+    `feats_wire` freezes the feature input wire format into the artifact
+    (see build_serving_fn); ExportedMuCon reads it back from meta.json
+    and converts host features automatically."""
     import jax
     from jax import export as jexport
 
     serve, template = build_serving_fn(
         model, params, cfg, db, batch_size, pad_to,
-        viterbi_max_len=viterbi_max_len,
+        viterbi_max_len=viterbi_max_len, feats_wire=feats_wire,
     )
     feats_spec = jax.ShapeDtypeStruct(
-        (batch_size, pad_to, db.feat_dim), np.float32
+        (batch_size, pad_to, db.feat_dim), feats_wire_dtype(feats_wire)
     )
     nf_spec = jax.ShapeDtypeStruct(
         (batch_size,), template["num_frames"].dtype
     )
-    exported = jexport.export(jax.jit(serve))(feats_spec, nf_spec)
+    if feats_wire == "int8":
+        scale_spec = jax.ShapeDtypeStruct(
+            (batch_size, pad_to), np.float32
+        )
+        exported = jexport.export(jax.jit(serve))(
+            feats_spec, scale_spec, nf_spec
+        )
+    else:
+        exported = jexport.export(jax.jit(serve))(feats_spec, nf_spec)
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -133,6 +196,7 @@ def export_serving(model, params, cfg, db, batch_size: int, pad_to: int,
         format="mucon-tpu-serving-v1",
         batch_size=batch_size,
         pad_to=pad_to,
+        feats_wire=feats_wire,
         feat_dim=db.feat_dim,
         num_frames_dtype=np.dtype(template["num_frames"].dtype).name,
         n_steps_dim=model.max_decoding_steps,
@@ -171,10 +235,27 @@ class ExportedMuCon:
         # backend re-COMPILES) on every invocation otherwise — measured
         # 13-27 s/batch un-jitted vs milliseconds warm (probe_export_tpu)
         self._call = jax.jit(self.exported.call)
+        self.feats_wire = self.meta.get("feats_wire", "float32")
 
-    def __call__(self, feats, num_frames):
-        """Raw exported program at the frozen shapes -> 2-leaf wire."""
-        return self._call(feats, num_frames)
+    def to_wire(self, feats):
+        """Convert a host [B,T,D] float array to the artifact's frozen
+        feature wire: a tuple of the positional feature inputs the
+        exported program takes (1 leaf for float wires, 2 for int8 —
+        the quantized array + per-frame scale)."""
+        feats = np.asarray(feats)
+        if self.feats_wire == "int8":
+            from mucon_tpu.models.model import quantize_feats_int8
+
+            return quantize_feats_int8(np.asarray(feats, np.float32))
+        return (feats.astype(feats_wire_dtype(self.feats_wire)),)
+
+    def __call__(self, feats, num_frames, *, raw_wire=False):
+        """Run the exported program at the frozen shapes -> 2-leaf wire.
+        Host float feats are converted to the artifact's feature wire
+        automatically; pass `raw_wire=True` with a `to_wire()` tuple (or
+        pre-quantized arrays) to skip the conversion."""
+        wire = feats if raw_wire else self.to_wire(feats)
+        return self._call(*wire, num_frames)
 
     def predict(self, feats_list, names=None):
         """Serve a list of [T x D] float32 feature arrays (any count; any

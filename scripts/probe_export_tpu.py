@@ -63,6 +63,7 @@ def do_export(args):
         model, params, cfg, db,
         batch_size=args.batch, pad_to=args.pad,
         out_dir=args.out, viterbi_max_len=2000,
+        feats_wire=args.feats_wire,
     )
     t1 = time.perf_counter()
     import os
@@ -74,6 +75,7 @@ def do_export(args):
                 mode="export",
                 batch=args.batch,
                 pad_to=args.pad,
+                feats_wire=args.feats_wire,
                 export_s=round(t1 - t0, 2),
                 artifact_mb=round(size / 2**20, 2),
             )
@@ -95,8 +97,9 @@ def do_serve(args):
     B, T, D = m["batch_size"], m["pad_to"], m["feat_dim"]
     rng = np.random.default_rng(7)
     n = args.videos
+    t_lo = min(1500, max(1, T * 3 // 4))  # ragged lengths at any pad_to
     feats_list = [
-        rng.standard_normal((int(rng.integers(1500, T + 1)), D)).astype(
+        rng.standard_normal((int(rng.integers(t_lo, T + 1)), D)).astype(
             np.float32
         )
         for _ in range(n)
@@ -117,10 +120,11 @@ def do_serve(args):
     for i, f in enumerate(feats_list[:B]):
         feats0[i, : f.shape[0]] = f
         nf0[i] = f.shape[0]
-    dfe, dnf = jax.device_put(feats0), jax.device_put(nf0)
+    dwire = jax.device_put(served.to_wire(feats0))
+    dnf = jax.device_put(nf0)
 
     def run_synced():
-        out = served(dfe, dnf)
+        out = served(dwire, dnf, raw_wire=True)
         float(jnp.sum(jax.tree.leaves(out)[0]))
 
     run_synced()  # warm this sync path
@@ -146,12 +150,18 @@ def do_serve(args):
                 batch=B,
                 pad_to=T,
                 videos=n,
+                feats_wire=served.feats_wire,
                 warmup_s=round(t_warm, 2),
                 ms_per_video_best=round(best / n * 1e3, 3),
                 ms_per_video_median=round(med / n * 1e3, 3),
                 videos_per_sec_best=round(n / best, 1),
                 device_ms_per_video_best=round(dev_best_ms, 3),
-                feats_mb_per_video=round(T * D * 4 / 2**20, 1),
+                # wire bytes of ONE video's feature payload (int8 adds a
+                # 4*T-byte scale array — counted)
+                feats_mb_per_video=round(
+                    sum(a.nbytes for a in served.to_wire(feats0))
+                    / B / 2**20, 2,
+                ),
                 rounds_s=[round(t, 3) for t in times],
             )
         ),
@@ -167,6 +177,8 @@ def main():
     p.add_argument("--pad", type=int, default=2048)
     p.add_argument("--videos", type=int, default=64)
     p.add_argument("--rounds", type=int, default=4)
+    p.add_argument("--feats-wire", default="float32",
+                   choices=["float32", "float16", "bfloat16", "int8"])
     args = p.parse_args()
     if args.mode == "export":
         do_export(args)

@@ -142,3 +142,99 @@ def test_predict_serves_raw_features(exported_setup):
         np.testing.assert_allclose(
             r["rel_lengths"], l["rel_lengths"], rtol=1e-6
         )
+
+
+@pytest.mark.slow  # three full export traces — ~1 min on this 1-core box
+@pytest.mark.parametrize("wire", ["float16", "bfloat16", "int8"])
+def test_lossy_feature_wire_artifact(exported_setup, tmp_path, wire):
+    """Lossy feature-wire exports (VERDICT r4 #3): the artifact freezes
+    the wire format into its input signature + meta.json, ExportedMuCon
+    converts host floats automatically, and the exported program matches
+    the live serving fn BITWISE when both see the same wire arrays."""
+    import json
+
+    import jax
+
+    cfg, db, model, params, _ = exported_setup
+    out_dir = tmp_path / f"artifact_{wire}"
+    export_serving(
+        model, params, cfg, db, batch_size=2, pad_to=128,
+        out_dir=out_dir, viterbi_max_len=400, feats_wire=wire,
+    )
+    meta = json.loads((out_dir / "meta.json").read_text())
+    assert meta["feats_wire"] == wire
+
+    served = load_exported(out_dir)
+    assert served.feats_wire == wire
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((2, 128, db.feat_dim)).astype(np.float32)
+    nf = np.array([120, 77], served.meta["num_frames_dtype"])
+
+    wire_arrays = served.to_wire(feats)
+    if wire == "int8":
+        assert len(wire_arrays) == 2
+        assert wire_arrays[0].dtype == np.int8
+        assert wire_arrays[1].shape == (2, 128)
+    else:
+        assert len(wire_arrays) == 1
+        assert wire_arrays[0].dtype.itemsize == 2  # half the f32 bytes
+
+    got = jax.device_get(served(feats, nf))
+    serve, _ = build_serving_fn(
+        model, params, cfg, db, 2, 128, viterbi_max_len=400,
+        feats_wire=wire,
+    )
+    want = jax.device_get(jax.jit(serve)(*wire_arrays, nf))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+        )
+
+    # end-to-end predict through the lossy artifact stays structurally
+    # valid (ragged lengths, chunking)
+    feats_list = [
+        rng.standard_normal((t, db.feat_dim)).astype(np.float32)
+        for t in (120, 64, 100)
+    ]
+    res = served.predict(feats_list, names=["a", "b", "c"])
+    for r, f in zip(res, feats_list):
+        assert len(r["transcript"]) >= 1
+        assert abs(sum(r["rel_lengths"]) - 1.0) < 1e-5
+        assert r["vit_labels"].shape == (f.shape[0],)
+        assert set(np.unique(r["vit_labels"])) <= set(r["transcript"])
+
+
+def test_predict_videos_honors_eval_wire(exported_setup):
+    """cli/predict.py routes tpu.eval_feats_transfer_dtype through the
+    live serving path (VERDICT r4 #3): the int8-wire prediction runs the
+    quantize+device-dequant machinery end to end and stays structurally
+    valid; the f16 wire is near-lossless, so its labels must agree with
+    f32 on a margin-dominated model output."""
+    from mucon_tpu.cli.predict import predict_videos
+
+    cfg, db, model, params, _ = exported_setup
+    model.set_teacher_forcing(False)
+    rng = np.random.default_rng(4)
+    feats_list = [
+        rng.standard_normal((t, db.feat_dim)).astype(np.float32)
+        for t in (120, 100)
+    ]
+    results = {}
+    for wire in ("float32", "float16", "int8"):
+        cfg_w = cfg.clone()
+        cfg_w.defrost()
+        cfg_w.tpu.eval_feats_transfer_dtype = wire
+        cfg_w.freeze()
+        results[wire] = predict_videos(
+            model, params, feats_list, ["a", "b"], cfg_w, db
+        )
+    for wire, res in results.items():
+        for r, f in zip(res, feats_list):
+            assert r["vit_labels"].shape == (f.shape[0],), wire
+            assert len(r["transcript"]) >= 1, wire
+    # f16 rounding is ~1e-4 relative on unit-scale features — far below
+    # the argmax margins of a real forward pass
+    for r32, r16 in zip(results["float32"], results["float16"]):
+        assert r32["transcript"] == r16["transcript"]
+        np.testing.assert_array_equal(r32["vit_labels"], r16["vit_labels"])
