@@ -41,10 +41,13 @@ def run(cfg, supervision: str = "weak"):
     full/mixed model+dataset variants exist in the reference at
     models.py:781-911 / general_dataset.py:176-263 without entry scripts —
     here they are first-class)."""
+    import time as _time
+
     print(cfg)
     print(f"jax devices: {jax.devices()}")
     dataset_fn, model_fn = _SUPERVISION[supervision]
 
+    t_setup0 = _time.perf_counter()
     train_db = dataset_fn(cfg, train=True)
     test_db = handel_dataset(cfg, train=False)
 
@@ -69,14 +72,15 @@ def run(cfg, supervision: str = "weak"):
         device=cfg.system.device,
         evaluators=[test_evaluator],
     )
+    setup_s = _time.perf_counter() - t_setup0
 
     trainer.train()
+    t_save0 = _time.perf_counter()
     trainer.save_training()
     trainer.wait_for_save()  # surface async-write failures before reporting
+    final_save_s = _time.perf_counter() - t_save0
 
     # full evaluation with viterbi decoding
-    import time as _time
-
     test_evaluator.viterbi_mode(True)
     t_final0 = _time.perf_counter()
     evaluator_result = test_evaluator.evaluate(trainer.params)
@@ -87,12 +91,24 @@ def run(cfg, supervision: str = "weak"):
     )
     print(evaluator_result)
 
+    t_tail0 = _time.perf_counter()
     test_evaluator.set_checkpointing_folder(trainer._get_checkpointing_folder())
     test_evaluator.save_stuff()
 
     name = trainer.eval_metric_name_format.format(1)
     trainer.metrics[name].set_value(evaluator_result, trainer.epoch_num)
     trainer.metrics[name].save()
+    # outside-the-epoch-loop wall clock: setup (datasets + model +
+    # evaluator + trainer build incl. params init), final checkpoint,
+    # eval-pickle + metric writes — the rest of the timed run's "other"
+    # bucket (VERDICT r4 #5); the in-loop part is in "train_phases"
+    trainer.logger.log(
+        "run_phases",
+        trainer.epoch_num,
+        setup_seconds=round(setup_s, 3),
+        final_save_seconds=round(final_save_s, 3),
+        save_stuff_seconds=round(_time.perf_counter() - t_tail0, 3),
+    )
     return evaluator_result
 
 

@@ -126,6 +126,7 @@ def main():
         key=lambda p: int(p.name),
     )[-1]
     epoch_times, eval_times, eval_phases, final_eval = [], [], [], 0.0
+    train_phases, run_phases = {}, {}
     with open(run_folder / "events.jsonl") as f:
         for line in f:
             ev = json.loads(line)
@@ -136,6 +137,14 @@ def main():
                 eval_phases.append(ev.get("eval_phases"))
             elif ev.get("kind") == "final_eval":
                 final_eval = ev.get("eval_seconds", 0.0)
+            elif ev.get("kind") == "train_phases":
+                train_phases = {
+                    k: v for k, v in ev.items() if k.endswith("_seconds")
+                }
+            elif ev.get("kind") == "run_phases":
+                run_phases = {
+                    k: v for k, v in ev.items() if k.endswith("_seconds")
+                }
 
     import numpy as np
 
@@ -192,6 +201,19 @@ def main():
         f"{'MET' if proj_total < 3600 else 'NOT MET'}.",
         "",
     ]
+    if train_phases or run_phases:
+        # decomposition of the "other" bucket (VERDICT r4 #5): the
+        # epoch-loop overhead phases (trainer "train_phases" event) +
+        # the outside-the-loop segments (cli "run_phases" event)
+        lines += ["Decomposition of \"other\" (seconds):", ""]
+        skip = {"loop_seconds", "train_seconds", "eval_seconds"}
+        for src, phases in (("epoch loop", train_phases),
+                            ("outside loop", run_phases)):
+            for k, v in sorted(phases.items(), key=lambda kv: -kv[1]):
+                if k in skip:
+                    continue
+                lines.append(f"* {src}: {k[:-8]} = {v:.1f}")
+        lines.append("")
     if eval_times:
         lines += ["Per-eval decomposition (seconds; stream = batch fetch/"
                   "replay, first_dispatch includes compile):", ""]
