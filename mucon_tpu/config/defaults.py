@@ -173,17 +173,24 @@ def get_cfg_defaults() -> ConfigNode:
     # test features — measured 620 s of a 2546 s Breakfast-scale run over
     # this rig's tunnel, docs/TIMED_RUN.md). 0 = plain FCFS.
     _C.tpu.eval_feats_transfer_dtype = "float32"  # eval feature wire format:
-    # "float32" keeps exact metric parity; "float16"/"bfloat16" halve eval
-    # HBM + wire bytes for memory-constrained single-chip runs; "int8"
-    # quarters them (per-frame symmetric quantization, see
-    # models/model.py::quantize_feats_int8)
+    # "float32" keeps exact metric parity; "bfloat16" halves eval HBM +
+    # wire bytes and is the RECOMMENDED lossy wire on TPU (numerics-
+    # identical to f32 there — the in-projection truncates operands to
+    # bf16 MXU passes either way, docs/STREAMING.md); "float16" for
+    # non-TPU consumers; "int8" quarters the bytes (per-frame symmetric
+    # quantization, see models/model.py::quantize_feats_int8) when a
+    # cache budget is the binding constraint
     _C.tpu.feats_transfer_dtype = "auto"  # training feature-transfer wire
     # format: "auto" (= compute dtype: bf16 when bf16, else f32) |
     # "float32" | "float16" | "bfloat16" | "int8". Halving the wire bytes
     # ~2x the h2d-bound first-epoch rate over the tunnel; "int8" quarters
     # wire AND device-cache bytes (lossy: elementwise error <= peak/254;
     # per-frame scales ride along as a tiny f32 leaf). The device upcasts
-    # to the compute dtype. Eval always transfers f32 (metric parity).
+    # to the compute dtype. RECOMMENDED on TPU: "bfloat16" — halved
+    # bytes at ZERO numerics cost (bit-identical loss trajectory to f32
+    # on TPU, measured round 4: the in-projection matmul truncates its
+    # operands to bf16 MXU passes either way; docs/STREAMING.md).
+    # Eval's wire is tpu.eval_feats_transfer_dtype (default f32 parity).
     # CONVERGENCE-VALIDATED (round 4, v5e): the 500-epoch synthetic recipe
     # (scripts/convergence_synthetic_tpu.sh) with float16 and with int8
     # wires both reproduce the f32 run's final metrics (y_mof 0.960,

@@ -10,9 +10,10 @@ data (real Breakfast is not on this rig):
   * 48 classes, 2048-d I3D-shaped features, T in [300, 3000] frames
   * reference-default config: dropout 0.25, SGD + step schedule,
     separate clip 100, 150 epochs, teacher forcing, flint/box loss
-  * TPU input pipeline: B=64 bucketed padded batches, f16 feature
-    transfer, device-resident cache (the rig's host->device tunnel is
-    ~100-250 MB/s, documented; real-metal PCIe would stream instead)
+  * TPU input pipeline: B=32 bucketed padded batches, bf16 feature
+    transfer (the recommended TPU wire — numerics-identical to f32,
+    docs/STREAMING.md), device-resident cache (the rig's host->device
+    tunnel is ~100-250 MB/s, documented; real-metal PCIe would stream)
   * eval cadence 30 (the reference's own docker config value,
     src/configs/docker/inside.yaml), final eval in full Viterbi mode
 
@@ -79,11 +80,15 @@ def main():
             ("tpu.compilation_cache_dir", os.environ["COMPILE_CACHE"]),
         ]
     overrides += [
-        ("tpu.feats_transfer_dtype", "float16"),  # int8 A/B measured
-        # round 4: warm totals 992 s (int8) vs 944 s (f16) — the halved
-        # fill is offset by host-side quantize + compile-key churn, so
-        # the f16 train wire stays; the EVAL wire is int8 to fit the
-        # single-shape padded set inside the cache reserve
+        ("tpu.feats_transfer_dtype", "bfloat16"),  # THE recommended TPU
+        # wire (round 5, VERDICT r4 #6): same bytes as the f16 wire used
+        # through round 4 but numerics-IDENTICAL to f32 on TPU
+        # (docs/STREAMING.md). int8 A/B measured round 4: warm totals
+        # 992 s (int8) vs 944 s (f16) — the halved fill is offset by
+        # host-side quantize + compile-key churn, so a 2-byte train wire
+        # stays; the EVAL wire is int8 to fit the single-shape padded
+        # set inside the cache reserve (1.6 GiB vs 1.96 at 2-byte wires
+        # against the 1.9 GiB reserve)
         ("tpu.eval_feats_transfer_dtype", "int8"),  # single-shape eval
         # pads every test batch to T_max, growing the cached eval set
         # ~60% past the f16 reserve (measured: 1.96 GiB at bucketed f16
