@@ -72,13 +72,25 @@ def test_train_test_resume(tiny_args):
     assert (run_folder / "checkpoints" / "epoch_1" / "data_test_eval.pkl").exists()
 
     # loss decreased over training (learnable synthetic data)
-    events = [
-        json.loads(l)
-        for l in open(run_folder / "events.jsonl")
-        if json.loads(l)["kind"] == "epoch"
+    all_events = [
+        json.loads(l) for l in open(run_folder / "events.jsonl")
     ]
+    events = [e for e in all_events if e["kind"] == "epoch"]
     assert len(events) >= 2
     assert events[-1]["main"] < events[0]["main"]
+
+    # overhead-phase decomposition events (VERDICT r4 #5): one
+    # train_phases summary from the epoch loop, one run_phases from the
+    # CLI tail, with the named buckets present and non-negative
+    (tp,) = [e for e in all_events if e["kind"] == "train_phases"]
+    for k in ("loop_seconds", "train_seconds", "eval_seconds",
+              "residual_seconds", "metric_io_seconds",
+              "checkpoint_start_seconds", "callbacks_seconds"):
+        assert tp[k] >= 0.0, k
+    assert tp["train_seconds"] <= tp["loop_seconds"]
+    (rp,) = [e for e in all_events if e["kind"] == "run_phases"]
+    for k in ("setup_seconds", "final_save_seconds", "save_stuff_seconds"):
+        assert rp[k] >= 0.0, k
 
     # resume-and-evaluate from the checkpoint alone (test_mucon flow);
     # evaluation must be READ-ONLY: no new run folders, no mtime changes
