@@ -156,6 +156,16 @@ class DecoderCell(nn.Module):
         return (h, c, next_token), (logprobs, length.astype(jnp.float32), next_token)
 
 
+# Trace-time A/B toggle for the framewise-head order (see the head
+# comment in MuConNet.__call__): False = conv at Tz then upsample (the
+# fast path, default); True = the reference's upsample-then-conv order.
+# Both produce BITWISE-identical forward values (pinned by
+# tests/test_model.py::test_head_order_commutes); the toggle exists for
+# the hw A/B probe (scripts/probe_head_order_tpu.py) and as a parity
+# oracle.  Read at trace time — flip before jitting, not inside jit.
+_UPSAMPLE_BEFORE_HEAD = False
+
+
 class MuConNet(nn.Module):
     """Full forward graph. Static flags pick the decode mode."""
 
@@ -378,10 +388,27 @@ class MuConNet(nn.Module):
         tokens = jnp.swapaxes(tokens, 0, 1)  # [B x S]
 
         # ---- framewise classification head (models.py:567-582) ----
-        z_up = interpolate_nearest_time(z, tz_len, T, num_frames)
-        segmentation = Conv1x1(self.ft_hidden, M, dtype=self.dtype, name="conv_classifier")(
-            z_up
-        ).astype(jnp.float32)
+        # 1x1 conv FIRST (at Tz = T/16), THEN the nearest upsample: a
+        # positionwise conv and an index-selection commute BITWISE
+        # (out[t] = W·z[idx[t]] + b either way, same per-element
+        # arithmetic), and upsampling M=48 logits instead of C=128
+        # features shrinks the data-dependent gather (fwd), its
+        # scatter-add transpose (bwd), and the head weight-grad
+        # contraction 2.7-16x — the xprof decomposition measured the
+        # 128-channel gather+scatter at ~0.25 ms of the ~2.9 ms flagship
+        # step (round 5, docs/ROOFLINE.md).  Reference applies conv after
+        # upsample (models.py:574-582) at bs=1; values are identical.
+        conv_classifier = Conv1x1(
+            self.ft_hidden, M, dtype=self.dtype, name="conv_classifier"
+        )
+        if _UPSAMPLE_BEFORE_HEAD:  # A/B oracle path (trace-time toggle)
+            z_up = interpolate_nearest_time(z, tz_len, T, num_frames)
+            segmentation = conv_classifier(z_up).astype(jnp.float32)
+        else:
+            seg_z = conv_classifier(z).astype(jnp.float32)
+            segmentation = interpolate_nearest_time(
+                seg_z, tz_len, T, num_frames
+            )
 
         # steps actually used: teacher-forced/training decode runs N_i + 1
         # steps; free decoding breaks at the first EOS (models.py:635-638,

@@ -195,6 +195,50 @@ def test_predict_teacher_forcing_and_free(model_and_batch):
     model.set_teacher_forcing(True)
 
 
+def test_head_order_commutes(model_and_batch):
+    """The framewise head's conv-at-Tz-then-upsample fast path (round 5)
+    is BITWISE identical to the reference order (upsample features, then
+    conv): a positionwise conv and an index-selection commute exactly —
+    out[t] = W·z[idx[t]] + b either way.  Grads differ only in the
+    summation order of the 16 repeated positions per pooled frame."""
+    import mucon_tpu.models.mucon as mucon_mod
+
+    _, model, params, batch, _ = model_and_batch
+    arrays = batch_to_arrays(batch)
+    f_fast = model.forward(params, arrays, train=False, teacher_forcing=True)
+    assert mucon_mod._UPSAMPLE_BEFORE_HEAD is False
+    mucon_mod._UPSAMPLE_BEFORE_HEAD = True
+    try:
+        f_ref = model.forward(params, arrays, train=False,
+                              teacher_forcing=True)
+    finally:
+        mucon_mod._UPSAMPLE_BEFORE_HEAD = False
+    np.testing.assert_array_equal(
+        np.asarray(f_fast.segmentation), np.asarray(f_ref.segmentation)
+    )
+
+    # grads: same up to reassociation of the 16-way repeat sums
+    def loss_fn(p, model_):
+        fwd = model_.forward(p, arrays, rng=jax.random.PRNGKey(0),
+                             train=True, teacher_forcing=True)
+        return model_.loss(fwd, arrays, teacher_forcing=True).main
+
+    g_fast = jax.grad(loss_fn)(params, model)
+    mucon_mod._UPSAMPLE_BEFORE_HEAD = True
+    try:
+        g_ref = jax.grad(loss_fn)(params, model)
+    finally:
+        mucon_mod._UPSAMPLE_BEFORE_HEAD = False
+    for kf, (a, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_fast),
+        zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_ref)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=str(kf[0]),
+        )
+
+
 def test_remat_encoder_matches(model_and_batch):
     cfg, model, params, batch, _ = model_and_batch
     import jax
