@@ -234,13 +234,18 @@ def main():
             "",
             "First-epoch wall clock is dominated by the shared remote",
             "compile service and varies wildly run-to-run (937 s and",
-            "1268 s observed the same day at the same HEAD); the steady",
-            "phases are the reproducible part. The eval-cache reserve",
-            "(tpu.cache_budget_eval_gb) cut periodic evals 620 -> 438 s",
-            "and the final eval 67 -> 40 s vs the FCFS-budget run; the",
-            "evaluator cache REPLAY (evals after the first skip disk +",
-            "collate entirely) cuts every eval after the first to",
-            "device-program + metric time.",
+            "1268 s observed the same day at the same HEAD in round 3);",
+            "the steady phases are the reproducible part. 'Other' is",
+            "almost entirely pre-loop setup (the remote compile of the",
+            "param-init program — datasets load in ~1 s); in-loop",
+            "overheads (checkpoints, scheduler, metric IO) total a few",
+            "seconds across the whole run (see the decomposition above).",
+            "The eval-cache reserve (tpu.cache_budget_eval_gb) + replay",
+            "+ single-shape eval keep every eval after the first at",
+            "device-program + metric time; the final full-Viterbi eval",
+            "is sub-second because the single-shape fused program always",
+            "computes the Viterbi wire (viterbi_mode only adds the host",
+            "traceback over the replayed cache).",
             "",
         ]
     lines += [
