@@ -82,15 +82,24 @@ class MuConModel:
             frames = jnp.asarray(batch.num_frames[:1])
             tf_in = jnp.asarray(batch.tf_input[:1])
             n_len = jnp.asarray(batch.transcript_len[:1])
-        variables = self.net.init(
-            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-            feats,
-            frames,
-            tf_in,
-            n_len,
-            train=False,
-            teacher_forcing=True,
-        )
+        # jit the init: un-jitted, flax init executes EAGERLY op by op —
+        # thousands of individual dispatches, each paying the remote-TPU
+        # roundtrip (~120 s of the timed run's setup phase measured on
+        # the tunnel, round 5). Jitted it is ONE compiled program, and
+        # the persistent compilation cache makes repeat runs instant.
+        # train/teacher_forcing are baked (always False/True here).
+        def _init(rng, feats, frames, tf_in, n_len):
+            return self.net.init(
+                {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+                feats,
+                frames,
+                tf_in,
+                n_len,
+                train=False,
+                teacher_forcing=True,
+            )
+
+        variables = jax.jit(_init)(rng, feats, frames, tf_in, n_len)
         return variables["params"]
 
     def param_partition(self, params):
