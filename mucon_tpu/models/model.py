@@ -82,12 +82,16 @@ class MuConModel:
             frames = jnp.asarray(batch.num_frames[:1])
             tf_in = jnp.asarray(batch.tf_input[:1])
             n_len = jnp.asarray(batch.transcript_len[:1])
-        # jit the init: un-jitted, flax init executes EAGERLY op by op —
-        # thousands of individual dispatches, each paying the remote-TPU
-        # roundtrip (~120 s of the timed run's setup phase measured on
-        # the tunnel, round 5). Jitted it is ONE compiled program, and
-        # the persistent compilation cache makes repeat runs instant.
-        # train/teacher_forcing are baked (always False/True here).
+        # jit the init on accelerators: un-jitted, flax init executes
+        # EAGERLY op by op — thousands of individual dispatches, each
+        # paying the remote-TPU roundtrip (~120 s of the timed run's
+        # setup phase measured on the tunnel; jitted: 14.3 s cold /
+        # 1.6 s warm with the persistent compilation cache, round 5).
+        # On CPU the dispatch is free and the whole-forward compile is
+        # NOT (it added ~3 min to the FAST test tier), so eager stays.
+        # The two paths differ by ~1e-7 in init values (transcendental
+        # fusion under jit) — random-init noise, consistent within each
+        # backend. train/teacher_forcing are baked (always False/True).
         def _init(rng, feats, frames, tf_in, n_len):
             return self.net.init(
                 {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
@@ -99,7 +103,8 @@ class MuConModel:
                 teacher_forcing=True,
             )
 
-        variables = jax.jit(_init)(rng, feats, frames, tf_in, n_len)
+        init_fn = _init if jax.default_backend() == "cpu" else jax.jit(_init)
+        variables = init_fn(rng, feats, frames, tf_in, n_len)
         return variables["params"]
 
     def param_partition(self, params):
