@@ -27,6 +27,9 @@ K = 5 if SMALL else int(os.environ.get("PROBE_K", "20"))
 B, T, D, M = (2, 128, 16, 6) if SMALL else (8, 2048, 2048, 48)
 DROP = 0.25
 OUT = os.environ.get("PROFILE_DIR", "/tmp/xplane_step")
+# iterations that land in the trace window: K per-call dispatches, or
+# 2 chained calls x K scanned steps each (PROFILE_CHAINED=1)
+N_ITERS = 2 * K if os.environ.get("PROFILE_CHAINED") == "1" else K
 
 
 def build():
@@ -75,6 +78,28 @@ def build():
                             teacher_forcing=True)
         return model.loss(fwd, arrays, teacher_forcing=True).main
 
+    if os.environ.get("PROFILE_CHAINED") == "1":
+        # K steps chained in ONE program (lax.scan) — the bench's
+        # sustained regime.  The per-call mode below dispatches each
+        # step over the tunnel, which inserts ~10 ms inter-step gaps in
+        # the trace and makes intra-step device idle unattributable
+        # (measured round 5: per-call span 14.7 ms/iter vs 2.95
+        # sustained).  In this mode the trace shows steps back-to-back,
+        # so gaps between XLA-Ops events are REAL device idle.
+        @jax.jit
+        def step(p, o, key, arrays):
+            def body(carry, k):
+                p, o = carry
+                g = jax.grad(loss_main)(p, arrays,
+                                        jax.random.fold_in(key, k))
+                updates, o = tx.update(g, o, p)
+                return (optax.apply_updates(p, updates), o), None
+
+            (p, o), _ = jax.lax.scan(body, (p, o), jnp.arange(K))
+            return p, o, jax.tree.leaves(p)[0].sum()
+
+        return step, params, opt_state, arrays
+
     @jax.jit
     def step(p, o, key, arrays):
         g = jax.grad(loss_main)(p, arrays, key)
@@ -117,10 +142,10 @@ def summarize(logdir, top=40):
             continue
         busiest = max(by_line, key=lambda k: by_line[k])
         print(f"\n  top ops on '{busiest}' (total {by_line[busiest]:.3f}"
-              f" ms over {K} iters):")
+              f" ms over {N_ITERS} iters):")
         ops = [(n, ms) for (l, n), ms in by_op.items() if l == busiest]
         for name, ms in sorted(ops, key=lambda kv: -kv[1])[:top]:
-            print(f"    {ms:9.3f} ms  {ms / K:7.3f} ms/iter  {name[:110]}")
+            print(f"    {ms:9.3f} ms  {ms / N_ITERS:7.3f} ms/iter  {name[:110]}")
 
 
 def main():
@@ -134,11 +159,20 @@ def main():
     print(f"compiled+warm in {time.time() - t0:.0f}s", flush=True)
 
     os.makedirs(OUT, exist_ok=True)
+    chained = os.environ.get("PROFILE_CHAINED") == "1"
     with jax.profiler.trace(OUT):
-        for k in range(K):
-            p, o, chk = step(p, o, jax.random.fold_in(
-                jax.random.PRNGKey(8), k), arrays)
-        float(chk)  # sync inside the trace window
+        if chained:
+            # one dispatch = K chained steps; two calls so the trace
+            # has a clean interior window
+            for k in range(2):
+                p, o, chk = step(p, o, jax.random.fold_in(
+                    jax.random.PRNGKey(8), k), arrays)
+                float(chk)
+        else:
+            for k in range(K):
+                p, o, chk = step(p, o, jax.random.fold_in(
+                    jax.random.PRNGKey(8), k), arrays)
+            float(chk)  # sync inside the trace window
     print("trace captured", flush=True)
     summarize(OUT)
 
