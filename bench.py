@@ -179,8 +179,12 @@ def main():
     PAD = 512
     N_TR = 6
     steps_warmup = 2 if small else 3
-    # scale chained-steps so every arm times ~equal work (>=1000 videos)
-    steps_measure = 4 if small else max(20, 1280 // B)
+    # scale chained-steps so every arm times ~equal work (>=2500 videos).
+    # K=320 at B=8: the one ~25-30 ms dispatch+readback tunnel roundtrip
+    # per rep amortizes to <0.1 ms/step (~3%), so the reported rate is
+    # within a few percent of the pure device rate (the chained-trace
+    # methodology note in docs/ROOFLINE.md round 5)
+    steps_measure = 4 if small else max(20, 2560 // B)
 
     cfg = get_cfg_defaults()
     if small:
