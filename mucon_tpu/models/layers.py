@@ -72,6 +72,19 @@ def masked_group_norm(x, lengths, num_groups: int, scale, bias, eps: float = 1e-
     return xn * scale[None, None, :] + bias[None, None, :]
 
 
+def nearest_upsample_indices(src_lengths, dst_len: int, dst_lengths):
+    """[B x dst_len] int32 source indices of the per-video nearest
+    upsample: idx[b, t] = clip(floor(t * src_len_b / dst_len_b)).
+    Monotone non-decreasing in t (consumers rely on this — the fused
+    eval's window-sum construction uses searchsorted over it)."""
+    t_ids = jnp.arange(dst_len)  # [T]
+    scale = src_lengths.astype(jnp.float32) / jnp.maximum(
+        dst_lengths.astype(jnp.float32), 1
+    )
+    idx = jnp.floor(t_ids[None, :] * scale[:, None]).astype(jnp.int32)
+    return jnp.clip(idx, 0, jnp.maximum(src_lengths - 1, 0)[:, None])
+
+
 def interpolate_nearest_time(x, src_lengths, dst_len: int, dst_lengths):
     """Per-video nearest-neighbor upsample along time.
 
@@ -79,11 +92,5 @@ def interpolate_nearest_time(x, src_lengths, dst_len: int, dst_lengths):
     src_len / dst_len)], applied per video with its own (src, dst) lengths
     (reference models.py:574-576 with bs=1 exact lengths).
     """
-    B = x.shape[0]
-    t_ids = jnp.arange(dst_len)  # [T]
-    scale = src_lengths.astype(jnp.float32) / jnp.maximum(
-        dst_lengths.astype(jnp.float32), 1
-    )
-    idx = jnp.floor(t_ids[None, :] * scale[:, None]).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, jnp.maximum(src_lengths - 1, 0)[:, None])
+    idx = nearest_upsample_indices(src_lengths, dst_len, dst_lengths)
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)

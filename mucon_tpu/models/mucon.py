@@ -404,6 +404,7 @@ class MuConNet(nn.Module):
         if _UPSAMPLE_BEFORE_HEAD:  # A/B oracle path (trace-time toggle)
             z_up = interpolate_nearest_time(z, tz_len, T, num_frames)
             segmentation = conv_classifier(z_up).astype(jnp.float32)
+            seg_z = conv_classifier(z).astype(jnp.float32)
         else:
             seg_z = conv_classifier(z).astype(jnp.float32)
             segmentation = interpolate_nearest_time(
@@ -428,6 +429,7 @@ class MuConNet(nn.Module):
             tokens=tokens,
             n_steps=n_steps,
             tz_lengths=tz_len,
+            segmentation_z=seg_z,
         )
 
 

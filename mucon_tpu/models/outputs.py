@@ -24,6 +24,12 @@ class MuConForwardOut:
     n_steps: jnp.ndarray  # [B] decode-step count actually used (N_i + 1 in
     # teacher-forced/training mode; EOS position + 1 in free decoding)
     tz_lengths: jnp.ndarray  # [B] encoder output lengths (T_i // 16)
+    segmentation_z: jnp.ndarray = None  # [B x Tz x M] PRE-upsample head
+    # logits: segmentation == nearest-upsample(segmentation_z) row-for-row
+    # (the conv and the index selection commute — see mucon.py).  The
+    # fused eval program consumes THIS and never materializes the full-T
+    # tensor on device (argmax / log-softmax / window sums all commute
+    # with the upsample selection — ops/eval_fused.py round 5).
 
 
 @struct.dataclass

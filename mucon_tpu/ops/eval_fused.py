@@ -49,8 +49,27 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
             use_pallas=None if use_pallas_forward else False,
         )
         B, T, M = fwd.segmentation.shape
-        seg_lp = jax.nn.log_softmax(fwd.segmentation, axis=-1)
-        y_argmax = jnp.argmax(seg_lp, axis=-1).astype(jnp.int32)
+        # Everything downstream consumes PER-POSITION transforms of the
+        # framewise logits, and the full-T logits are a nearest UPSAMPLE
+        # of the Tz-level head output — argmax, log_softmax, and window
+        # sums all commute with the index selection.  So the program
+        # works at Tz and never materializes [B x T x M] on device: the
+        # round-5 xplane decomposition measured the full-T path
+        # (kCustom gather 1.92 ms + layout copy 0.22 + log_softmax 0.10
+        # at B=128/Tpad=2560) at ~16% of the fused program; XLA
+        # dead-code-eliminates fwd.segmentation from this jit.  y_argmax
+        # is EXACT (argmax-at-Tz then index-gather); Viterbi W tables
+        # match the full-T sums to f32 reassociation (~1e-6) — see
+        # ops/viterbi.py::viterbi_precompute_z.
+        from mucon_tpu.models.layers import nearest_upsample_indices
+
+        seg_lp_z = jax.nn.log_softmax(fwd.segmentation_z, axis=-1)
+        up_idx = nearest_upsample_indices(
+            fwd.tz_lengths, T, arrays["num_frames"]
+        )  # [B x T] monotone
+        y_argmax = jnp.take_along_axis(
+            jnp.argmax(seg_lp_z, axis=-1).astype(jnp.int32), up_idx, axis=1
+        )
 
         n_max = arrays["transcript"].shape[1]
         steps = jnp.arange(fwd.lengths.shape[1])
@@ -80,38 +99,38 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
         lam = jnp.where(lam == 0.0, 1.0, lam)
 
         l_max = max_len // S
+        from mucon_tpu.ops.viterbi import viterbi_precompute_z
+
+        W, pois, k_valid = jax.vmap(
+            partial(
+                viterbi_precompute_z,
+                frame_sampling=S,
+                max_len=max_len,
+                l_max=l_max,
+            )
+        )(seg_lp_z, up_idx, arrays["num_frames"], trs, lam)
+
         if use_pallas_viterbi:
-            from mucon_tpu.ops.viterbi import viterbi_precompute
             from mucon_tpu.ops.viterbi_pallas import dense_viterbi_pallas
 
-            W, pois, k_valid = jax.vmap(
-                partial(
-                    viterbi_precompute,
-                    frame_sampling=S,
-                    max_len=max_len,
-                    l_max=l_max,
-                )
-            )(seg_lp, arrays["num_frames"], trs, lam)
             score, best_l, bps = dense_viterbi_pallas(
                 W, pois, k_valid, n_dec,
                 frame_sampling=S, max_len=max_len,
                 interpret=jax.default_backend() == "cpu",
             )
         else:
-            from mucon_tpu.ops.viterbi import _dense_viterbi_scan
+            from mucon_tpu.ops.viterbi import _dense_viterbi_from_tables
 
             decode = jax.vmap(
                 partial(
-                    _dense_viterbi_scan,
+                    _dense_viterbi_from_tables,
                     frame_sampling=S,
                     max_len=max_len,
                     n_max=n_max,
                     l_max=l_max,
                 )
             )
-            score, best_l, bps, k_valid = decode(
-                seg_lp, arrays["num_frames"], trs, n_dec, lam
-            )
+            score, best_l, bps, k_valid = decode(W, pois, k_valid, n_dec)
 
         # on-device pointer walk: ship [B x K] positions (~43 KB at
         # B=128) instead of the [B x K-1 x n_max] backpointer table

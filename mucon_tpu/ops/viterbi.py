@@ -91,6 +91,53 @@ def viterbi_precompute(
     return W, pois, k_valid
 
 
+def viterbi_precompute_z(
+    log_probs_z,  # [Tz x M] PRE-upsample framewise log-probs
+    up_idx,  # [T_pad] int32 monotone nearest-upsample source indices
+    t_valid,  # []
+    transcript,  # [n_max]
+    class_lambdas,  # [M]
+    *,
+    frame_sampling: int,
+    max_len: int,
+    l_max: int,
+):
+    """viterbi_precompute from the PRE-upsample logits (round 5).
+
+    The full-T framewise log-probs are a nearest upsample of the Tz-level
+    ones (log_softmax commutes with the per-position selection), so each
+    window sum Σ_{t in window k} lp[t] equals Σ_s C[k, s] · lp_z[s] with
+    C[k, s] = #frames of window k whose source index is s — computed
+    EXACTLY from `up_idx` via searchsorted (idx is monotone), no [T x M]
+    tensor ever materialized.  The device cost drops from a [B x T x M]
+    gather + log_softmax + window reduce (~2.3 ms/batch at B=128,
+    Tpad=2560, measured by the round-5 xplane decomposition) to a tiny
+    [K x Tz] @ [Tz x M] matmul.  Scores match viterbi_precompute to f32
+    reassociation (weighted sum vs repeated adds), ~1e-6."""
+    S = frame_sampling
+    Tz, M = log_probs_z.shape
+    T_pad = up_idx.shape[0]
+    K = T_pad // S
+    k_valid = t_valid // S
+
+    # b[s] = first t with up_idx[t] >= s  (b[Tz] == T_pad)
+    b = jnp.searchsorted(up_idx, jnp.arange(Tz + 1), side="left")
+    k0 = (jnp.arange(K) * S)[:, None]  # window starts [K x 1]
+    C = jnp.clip(
+        jnp.minimum(k0 + S, b[None, 1:]) - jnp.maximum(k0, b[None, :-1]),
+        0,
+        S,
+    ).astype(log_probs_z.dtype)  # [K x Tz]
+    wsum = C @ log_probs_z  # [K x M]
+    W = wsum[:, jnp.clip(transcript, 0, M - 1)]  # [K x n_max]
+
+    lens = (jnp.arange(l_max) + 1) * S
+    lam = class_lambdas[jnp.clip(transcript, 0, M - 1)]
+    pois = _poisson_rows(lam, lens)
+    pois = jnp.where(lens[None, :] < max_len, pois, NEG)
+    return W, pois, k_valid
+
+
 def _dense_viterbi_scan(
     log_probs,  # [T_pad x M] framewise log-probs
     t_valid,  # [] int32: true frame count
@@ -110,6 +157,27 @@ def _dense_viterbi_scan(
         log_probs, t_valid, transcript, class_lambdas,
         frame_sampling=S, max_len=max_len, l_max=l_max,
     )
+    return _dense_viterbi_from_tables(
+        W, pois, k_valid, n_valid,
+        frame_sampling=S, max_len=max_len, n_max=n_max, l_max=l_max,
+    )
+
+
+def _dense_viterbi_from_tables(
+    W,  # [K x n_max] per-window per-position scores
+    pois,  # [n_max x l_max]
+    k_valid,  # [] int32
+    n_valid,  # [] int32
+    *,
+    frame_sampling: int,
+    max_len: int,
+    n_max: int,
+    l_max: int,
+):
+    """The DP body of _dense_viterbi_scan on precomputed tables (so the
+    fused eval can build W from the PRE-upsample logits —
+    viterbi_precompute_z)."""
+    S = frame_sampling
     K = W.shape[0]
 
     n_ids = jnp.arange(n_max)

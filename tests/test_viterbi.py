@@ -278,3 +278,100 @@ def test_multi_poisson_score_multi():
     assert mp.score_multi(1, 80, 1) == pytest.approx(ref1.score(80, 1))
     with pytest.raises(NotImplementedError):
         mp.score(10, 0)  # dead path preserved (length_model.py:107-108)
+
+
+def test_precompute_z_matches_full_t():
+    """viterbi_precompute_z (round 5): W tables built from PRE-upsample
+    log-probs via exact searchsorted counts must match the full-T window
+    sums to f32 reassociation, with identical pois/k_valid — for ragged
+    per-video (tz_len, num_frames) pairs including odd lengths."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from mucon_tpu.models.layers import (
+        interpolate_nearest_time,
+        nearest_upsample_indices,
+    )
+    from mucon_tpu.ops.viterbi import viterbi_precompute, viterbi_precompute_z
+
+    rng = np.random.RandomState(7)
+    B, Tz, T, M, n_max = 3, 12, 192, 6, 5
+    seg_z = jnp.asarray(rng.randn(B, Tz, M).astype(np.float32))
+    num_frames = jnp.asarray([192, 177, 101], jnp.int32)  # odd ragged
+    tz_len = num_frames // 16
+    lam = jnp.asarray(rng.uniform(1, 5, size=(B, M)).astype(np.float32))
+    trs = jnp.asarray(rng.randint(0, M, size=(B, n_max)))
+
+    seg_lp_z = jax.nn.log_softmax(seg_z, -1)
+    # full-T path: upsample the log-probs (log_softmax commutes with the
+    # per-position selection, so upsampling before or after is identical)
+    seg_lp = interpolate_nearest_time(seg_lp_z, tz_len, T, num_frames)
+    idx = nearest_upsample_indices(tz_len, T, num_frames)
+
+    kw = dict(frame_sampling=10, max_len=120, l_max=12)
+    W1, p1, k1 = jax.vmap(partial(viterbi_precompute, **kw))(
+        seg_lp, num_frames, trs, lam
+    )
+    W2, p2, k2 = jax.vmap(partial(viterbi_precompute_z, **kw))(
+        seg_lp_z, idx, num_frames, trs, lam
+    )
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(
+        np.asarray(W1), np.asarray(W2), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fused_eval_y_argmax_exact_vs_full_t(tmp_path):
+    """The fused eval's argmax-at-Tz + index-gather y labels are EXACTLY
+    the full-T argmax (selection commutes with per-position argmax)."""
+    import jax
+
+    from mucon_tpu.config import get_cfg_defaults
+    from mucon_tpu.data import collate_padded
+    from mucon_tpu.data.general_dataset import Sample
+    from mucon_tpu.data.utils import create_tf_input, create_tf_target
+    from mucon_tpu.models import batch_to_arrays, create_model
+    from mucon_tpu.ops.eval_fused import build_fused_eval, unpack_eval_wire
+
+    M, D = 6, 16
+    cfg = get_cfg_defaults()
+    cfg.merge_from_list([
+        "model.ft.stages", "[1, 2, 4]",
+        "model.ft.pooling_layers", "[0, 1]",
+        "model.ft.hidden_size", "16",
+        "model.ft.last_gn_num_groups", "4",
+        "model.fs.encoder.hidden_size", "16",
+        "model.fs.decoder.hidden_size", "16",
+    ])
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(3):
+        T = int(rng.randint(100, 200))
+        tr = rng.randint(0, M, size=4).astype(np.int64)
+        samples.append(Sample(
+            feats=rng.randn(T, D).astype(np.float32),
+            gt_label=rng.randint(0, M, size=T).astype(np.int64),
+            transcript=tr,
+            transcript_tf_input=create_tf_input(tr, sos_i=M + 1),
+            transcript_tf_target=create_tf_target(tr, eos_i=M),
+            video_name=f"v{i}",
+        ))
+    batch = collate_padded(samples, n_max=8, pad_multiple=64)
+    model = create_model(cfg, num_classes=M, max_decoding_steps=9,
+                         input_feature_size=D)
+    import jax as _jax
+
+    params = model.init_params(_jax.random.PRNGKey(0), batch)
+    arrays = batch_to_arrays(batch)
+    fused = build_fused_eval(model, teacher_forcing=False,
+                             frame_sampling=10, max_len=400,
+                             use_pallas_viterbi=False)
+    out = unpack_eval_wire(
+        jax.device_get(fused(params, arrays)), n_steps_dim=9, n_max=8
+    )
+    fwd = model.forward(params, arrays, train=False, teacher_forcing=False)
+    y_ref = np.argmax(np.asarray(fwd.segmentation), -1)
+    np.testing.assert_array_equal(out["y_argmax"], y_ref)
