@@ -399,6 +399,8 @@ def main():
             jax.device_get(out_dev),
             n_steps_dim=model.max_decoding_steps,
             n_max=eval_batch.transcript.shape[1],
+            num_frames=eval_batch.num_frames,
+            t_full=int(eval_batch.feats.shape[1]),
         )
         positions_to_results(
             eval_batch.num_frames,

@@ -86,6 +86,8 @@ def predict_videos(model, params, feats_list, names, cfg, db):
             jax.device_get(run(params, arrays)),
             n_steps_dim=model.max_decoding_steps,
             n_max=batch.transcript.shape[1],
+            num_frames=batch.num_frames,
+            t_full=int(batch.feats.shape[1]),
         )
         nb = len(chunk_names)
         traced = positions_to_results(

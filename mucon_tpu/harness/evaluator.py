@@ -554,10 +554,24 @@ class MuConEvaluator:
         eval_fused.py): wire unpack, tracebacks and numpy metric updates."""
         from mucon_tpu.ops.eval_fused import unpack_eval_wire
 
+        # y labels travel at Tz; unpack upsamples them on host.  Device
+        # output rows may exceed the true batch (single-shape / sharded
+        # eval pads with dummy videos) — pad num_frames to match; every
+        # consumer below slices per video to t_i, so t_full only needs
+        # to cover the longest real video (replayed host batches carry
+        # no feats block to read a pad width from).
+        nf = np.asarray(batch.num_frames)
+        rows = np.asarray(out["y_argmax"]).shape[0]
+        if rows > nf.shape[0]:
+            nf = np.concatenate(
+                [nf, np.ones(rows - nf.shape[0], nf.dtype)]
+            )
         out = unpack_eval_wire(
             out,
             n_steps_dim=self.model.max_decoding_steps,
             n_max=batch.transcript.shape[1],
+            num_frames=nf,
+            t_full=int(nf.max()),
         )
         B = batch.batch_size
 

@@ -66,10 +66,14 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
         seg_lp_z = jax.nn.log_softmax(fwd.segmentation_z, axis=-1)
         up_idx = nearest_upsample_indices(
             fwd.tz_lengths, T, arrays["num_frames"]
-        )  # [B x T] monotone
-        y_argmax = jnp.take_along_axis(
-            jnp.argmax(seg_lp_z, axis=-1).astype(jnp.int32), up_idx, axis=1
-        )
+        )  # [B x T] monotone (consumed by the window-sum counts only)
+        # y labels ship at Tz: the full-T label tensor is a pure index
+        # selection that costs 1.9-3.3 ms/batch of kCustom row-DMA on
+        # device (measured both ways, round-5 xplane) but is a trivial
+        # take_along_axis on HOST — and the y wire shrinks 16x.
+        # unpack_eval_wire performs the host upsample (same f32 floor
+        # arithmetic, bit-exact labels).
+        y_z = jnp.argmax(seg_lp_z, axis=-1).astype(jnp.int32)  # [B x Tz]
 
         n_max = arrays["transcript"].shape[1]
         steps = jnp.arange(fwd.lengths.shape[1])
@@ -140,7 +144,7 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
         vit_pos = traceback_positions_device(bps, k_valid, n_dec, best_l)
 
         # int8 labels halve-and-half the y wire (M < 128 always here)
-        y_wire = y_argmax.astype(jnp.int8) if M < 128 else y_argmax
+        y_wire = y_z.astype(jnp.int8) if M < 128 else y_z
 
         # pack everything else into ONE f32 block: the axon-tunnel d2h
         # pays a per-ARRAY roundtrip, so 10 leaves -> 2 leaves is a
@@ -156,6 +160,7 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
             vit_best_l=best_l,
             vit_pos=vit_pos,
             vit_k_valid=k_valid,
+            tz_len=fwd.tz_lengths,
         )
         wire = jnp.concatenate(
             [
@@ -216,20 +221,46 @@ WIRE_KEYS = (
     "vit_best_l",
     "vit_pos",
     "vit_k_valid",
+    "tz_len",
 )
 _INT_KEYS = {
     "tokens", "n_steps", "n_dec", "transcripts", "vit_best_l",
-    "vit_pos", "vit_k_valid",
+    "vit_pos", "vit_k_valid", "tz_len",
 }
 
 
-def unpack_eval_wire(out: dict, n_steps_dim: int, n_max: int) -> dict:
+def upsample_labels_host(y_z, tz_len, num_frames, t_full: int):
+    """Host (numpy) nearest upsample of Tz-level label rows to t_full —
+    the same floor(t * src/dst) f32 arithmetic as
+    models/layers.py::nearest_upsample_indices, so labels are bit-exact
+    vs a device-side upsample."""
+    import numpy as np
+
+    y_z = np.asarray(y_z)
+    tz_len = np.asarray(tz_len).astype(np.int32)
+    scale = tz_len.astype(np.float32) / np.maximum(
+        np.asarray(num_frames).astype(np.float32), 1.0
+    )
+    t_ids = np.arange(t_full, dtype=np.float32)
+    idx = np.floor(t_ids[None, :] * scale[:, None]).astype(np.int32)
+    idx = np.clip(idx, 0, np.maximum(tz_len - 1, 0)[:, None])
+    return np.take_along_axis(y_z, idx, axis=1)
+
+
+def unpack_eval_wire(out: dict, n_steps_dim: int, n_max: int,
+                     num_frames=None, t_full: int | None = None) -> dict:
     """Host-side inverse of the wire packing in `build_fused_eval`.
 
-    `out` is the device_get result {y_argmax [B,T], wire [B,W]}; returns
+    `out` is the device_get result {y_argmax [B,Tz], wire [B,W]}; returns
     the flat per-key dict the consumers index (ints restored exactly —
     every packed integer is < 2^24).  `n_steps_dim` is the model's
-    max_decoding_steps, `n_max` the transcript pad width."""
+    max_decoding_steps, `n_max` the transcript pad width.
+
+    The y labels travel at the encoder's Tz resolution (the full-T
+    tensor is a pure index selection — expensive on device, trivial
+    here); pass `num_frames [B]` and `t_full` (the padded frame count)
+    to get the full-T `y_argmax` — bit-exact vs the old device-side
+    upsample."""
     import numpy as np
 
     wire = np.asarray(out["wire"])
@@ -243,6 +274,7 @@ def unpack_eval_wire(out: dict, n_steps_dim: int, n_max: int) -> dict:
         "vit_score": 1,
         "vit_best_l": 1,
         "vit_k_valid": 1,
+        "tz_len": 1,
     }
     widths = [
         fixed[k] if k in fixed else W - sum(fixed.values())
@@ -250,10 +282,16 @@ def unpack_eval_wire(out: dict, n_steps_dim: int, n_max: int) -> dict:
     ]
     assert all(w >= 1 for w in widths), (W, widths)
     cols = np.split(wire, np.cumsum(widths)[:-1], axis=1)
-    res = {"y_argmax": np.asarray(out["y_argmax"])}
+    res = {"y_argmax_z": np.asarray(out["y_argmax"])}
     for k, c in zip(WIRE_KEYS, cols):
         if k in ("n_steps", "n_dec", "vit_score", "vit_best_l",
-                 "vit_k_valid"):
+                 "vit_k_valid", "tz_len"):
             c = c[:, 0]
         res[k] = c.astype(np.int64) if k in _INT_KEYS else c
+    if num_frames is not None:
+        if t_full is None:
+            raise ValueError("pass t_full with num_frames")
+        res["y_argmax"] = upsample_labels_host(
+            res["y_argmax_z"], res["tz_len"], num_frames, t_full
+        )
     return res

@@ -286,6 +286,8 @@ class ExportedMuCon:
                 jax.device_get(self(feats, num_frames)),
                 n_steps_dim=m["n_steps_dim"],
                 n_max=m["n_max"],
+                num_frames=num_frames,
+                t_full=T,
             )
             nb = len(chunk)
             traced = positions_to_results(

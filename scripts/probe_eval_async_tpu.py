@@ -97,7 +97,11 @@ def main():
     float(jnp.sum(out["wire"]))
 
     def consume(out):
-        out = unpack_eval_wire(out, n_steps_dim=31, n_max=30)
+        # num_frames/t_full: include the host-side y upsample so the
+        # measured consume cost matches the evaluator's real work
+        out = unpack_eval_wire(out, n_steps_dim=31, n_max=30,
+                               num_frames=batch.num_frames,
+                               t_full=int(batch.feats.shape[1]))
         positions_to_results(
             batch.num_frames, out["transcripts"], out["n_dec"],
             out["vit_score"], out["vit_pos"], out["vit_k_valid"], fs,

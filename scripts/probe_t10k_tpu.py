@@ -157,6 +157,8 @@ def main():
         out = unpack_eval_wire(
             jax.device_get(out), n_steps_dim=model.max_decoding_steps,
             n_max=eval_batch.transcript.shape[1],
+            num_frames=eval_batch.num_frames,
+            t_full=int(eval_batch.feats.shape[1]),
         )
         positions_to_results(
             eval_batch.num_frames, out["transcripts"], out["n_dec"],

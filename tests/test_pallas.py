@@ -195,7 +195,7 @@ def test_fused_eval_with_pallas_viterbi_matches():
     np.testing.assert_allclose(b["vit_score"], a["vit_score"], rtol=1e-5,
                                atol=1e-4)
     np.testing.assert_array_equal(b["vit_best_l"], a["vit_best_l"])
-    np.testing.assert_array_equal(b["y_argmax"], a["y_argmax"])
+    np.testing.assert_array_equal(b["y_argmax_z"], a["y_argmax_z"])
 
 
 def test_wavenet_stack_v2_bf16_close_to_f32():

@@ -370,7 +370,8 @@ def test_fused_eval_y_argmax_exact_vs_full_t(tmp_path):
                              frame_sampling=10, max_len=400,
                              use_pallas_viterbi=False)
     out = unpack_eval_wire(
-        jax.device_get(fused(params, arrays)), n_steps_dim=9, n_max=8
+        jax.device_get(fused(params, arrays)), n_steps_dim=9, n_max=8,
+        num_frames=batch.num_frames, t_full=int(batch.feats.shape[1]),
     )
     fwd = model.forward(params, arrays, train=False, teacher_forcing=False)
     y_ref = np.argmax(np.asarray(fwd.segmentation), -1)
