@@ -120,14 +120,18 @@ def viterbi_precompute_z(
     K = T_pad // S
     k_valid = t_valid // S
 
-    # b[s] = first t with up_idx[t] >= s  (b[Tz] == T_pad)
-    b = jnp.searchsorted(up_idx, jnp.arange(Tz + 1), side="left")
-    k0 = (jnp.arange(K) * S)[:, None]  # window starts [K x 1]
-    C = jnp.clip(
-        jnp.minimum(k0 + S, b[None, 1:]) - jnp.maximum(k0, b[None, :-1]),
-        0,
-        S,
-    ).astype(log_probs_z.dtype)  # [K x Tz]
+    # C[k, s] = #frames of window k whose source index is s — a direct
+    # compare-and-reduce over the window-reshaped idx.  (A searchsorted
+    # formulation computes the same counts but lowers to a sequential
+    # while + per-element gathers on TPU — measured 2.4 + 2.4 ms/batch
+    # at B=128; this fused compare/reduce is VPU-trivial.)
+    idx_w = up_idx[: K * S].reshape(K, S)
+    C = jnp.sum(
+        (idx_w[:, :, None] == jnp.arange(Tz)[None, None, :]).astype(
+            log_probs_z.dtype
+        ),
+        axis=1,
+    )  # [K x Tz]
     wsum = C @ log_probs_z  # [K x M]
     W = wsum[:, jnp.clip(transcript, 0, M - 1)]  # [K x n_max]
 
