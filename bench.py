@@ -384,7 +384,14 @@ def main():
     eval_batch = collate_padded(
         make_samples(EVAL_B, "ev"), n_max=30, pad_multiple=PAD
     )
-    eval_arrays = batch_to_arrays(eval_batch)
+    # eval wire via the evaluator's own resolver ("auto" = bf16 on TPU —
+    # output-checksum-identical, halves the in-projection HBM read:
+    # 12.14 -> 10.43 ms/batch measured, probe_eval_wire_dtype_tpu.py)
+    from mucon_tpu.models.model import resolve_eval_feats_dtype
+
+    eval_arrays = batch_to_arrays(
+        eval_batch, feats_dtype=resolve_eval_feats_dtype(cfg)
+    )
     # match the evaluator's routing: Pallas dense-DP on accelerators
     # (15% end-to-end win — CLAUDE.md round 1), XLA scan on CPU smoke
     fused = build_fused_eval(

@@ -172,14 +172,17 @@ def get_cfg_defaults() -> ConfigNode:
     # fills first; without a reserve, every periodic eval re-streams the
     # test features — measured 620 s of a 2546 s Breakfast-scale run over
     # this rig's tunnel, docs/TIMED_RUN.md). 0 = plain FCFS.
-    _C.tpu.eval_feats_transfer_dtype = "float32"  # eval feature wire format:
-    # "float32" keeps exact metric parity; "bfloat16" halves eval HBM +
-    # wire bytes and is the RECOMMENDED lossy wire on TPU (numerics-
-    # identical to f32 there — the in-projection truncates operands to
-    # bf16 MXU passes either way, docs/STREAMING.md); "float16" for
-    # non-TPU consumers; "int8" quarters the bytes (per-frame symmetric
-    # quantization, see models/model.py::quantize_feats_int8) when a
-    # cache budget is the binding constraint
+    _C.tpu.eval_feats_transfer_dtype = "auto"  # eval feature wire format.
+    # "auto" = bfloat16 on accelerator backends, float32 on CPU: on TPU
+    # the bf16 wire is numerics-IDENTICAL to f32 (the in-projection
+    # truncates dot operands to bf16 MXU passes either way — verified by
+    # output-checksum equality of the whole fused eval program on v5e,
+    # scripts/probe_eval_wire_dtype_tpu.py) and halves the dominant HBM
+    # read: fused eval 12.14 -> 10.43 ms/batch at B=128 (round 5).
+    # Explicit: "float32" (exact parity on any backend) | "bfloat16" |
+    # "float16" (non-TPU consumers) | "int8" (quarter bytes, per-frame
+    # symmetric quantization — models/model.py::quantize_feats_int8 —
+    # when a cache budget is the binding constraint)
     _C.tpu.feats_transfer_dtype = "auto"  # training feature-transfer wire
     # format: "auto" (= compute dtype: bf16 when bf16, else f32) |
     # "float32" | "float16" | "bfloat16" | "int8". Halving the wire bytes

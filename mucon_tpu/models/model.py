@@ -668,12 +668,22 @@ def batch_to_host_arrays(batch: PaddedBatch, feats_dtype=None) -> dict:
 
 def resolve_eval_feats_dtype(cfg):
     """`tpu.eval_feats_transfer_dtype` -> the `feats_dtype` argument for
-    batch_to_arrays/batch_to_host_arrays: None for the exact f32 default,
-    a jnp dtype for the half-width wires (bfloat16 is numerics-IDENTICAL
-    to f32 on TPU — docs/ROOFLINE.md lever 9), or the 'int8' sentinel
-    for the quantized wire.  Shared by the evaluator and cli/predict so
-    the serving surface honors the same knob as eval."""
-    t = getattr(cfg.tpu, "eval_feats_transfer_dtype", "float32")
+    batch_to_arrays/batch_to_host_arrays: None for the exact f32 wire,
+    a jnp dtype for the half-width wires, or the 'int8' sentinel for the
+    quantized wire.  Shared by the evaluator and cli/predict so the
+    serving surface honors the same knob as eval.
+
+    "auto" (the default) resolves to bfloat16 on accelerator backends —
+    numerics-IDENTICAL to f32 there (the in-projection truncates dot
+    operands to bf16 MXU passes either way; fused-eval output checksums
+    verified equal on v5e, scripts/probe_eval_wire_dtype_tpu.py) at half
+    the dominant HBM read — and to float32 on CPU, where matmuls run
+    true f32 and a bf16 wire WOULD change numerics."""
+    t = getattr(cfg.tpu, "eval_feats_transfer_dtype", "auto")
+    if t == "auto":
+        import jax
+
+        return None if jax.default_backend() == "cpu" else jnp.bfloat16
     if t in (None, "float32"):
         return None
     if t in ("float16", "bfloat16"):
@@ -682,7 +692,7 @@ def resolve_eval_feats_dtype(cfg):
         return "int8"
     raise ValueError(
         f"Invalid tpu.eval_feats_transfer_dtype {t!r} "
-        "(use 'float32'|'float16'|'bfloat16'|'int8')"
+        "(use 'auto'|'float32'|'float16'|'bfloat16'|'int8')"
     )
 
 
