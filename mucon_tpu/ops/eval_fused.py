@@ -115,9 +115,20 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
         )(seg_lp_z, up_idx, arrays["num_frames"], trs, lam)
 
         if use_pallas_viterbi:
-            from mucon_tpu.ops.viterbi_pallas import dense_viterbi_pallas
+            from mucon_tpu.ops.viterbi_pallas import (
+                dense_viterbi_pallas,
+                dense_viterbi_pallas_batched,
+                viterbi_batched_vmem_bytes,
+            )
 
-            score, best_l, bps = dense_viterbi_pallas(
+            Bv, Kv, Nv = W.shape
+            # whole-batch program (one K-step chain of [B*N]-wide vector
+            # work) when its footprint fits VMEM; per-video grid otherwise
+            if viterbi_batched_vmem_bytes(Bv, Kv, Nv, l_max) <= 14 << 20:
+                vit_fn = dense_viterbi_pallas_batched
+            else:
+                vit_fn = dense_viterbi_pallas
+            score, best_l, bps = vit_fn(
                 W, pois, k_valid, n_dec,
                 frame_sampling=S, max_len=max_len,
                 interpret=jax.default_backend() == "cpu",

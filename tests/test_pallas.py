@@ -168,6 +168,58 @@ def test_viterbi_pallas_kernel_matches_scan():
         )
 
 
+def test_viterbi_pallas_batched_matches_scan():
+    from functools import partial as _partial
+    from mucon_tpu.ops.viterbi import (
+        _dense_viterbi_scan, viterbi_precompute,
+    )
+    from mucon_tpu.ops.viterbi_pallas import dense_viterbi_pallas_batched
+
+    rng = np.random.RandomState(7)
+    B, T, M, S = 4, 600, 10, 30
+    max_len, l_max = 2000, 2000 // 30
+    n_max = 6
+    log_probs = np.log(
+        rng.dirichlet(np.ones(M), size=(B, T)).astype(np.float64) + 1e-8
+    ).astype(np.float32)
+    t_valid = np.array([600, 431, 299, 62], np.int32)
+    transcripts = rng.randint(0, M, size=(B, n_max)).astype(np.int32)
+    n_valid = np.array([4, 6, 2, 1], np.int32)
+    lambdas = rng.uniform(20, 200, size=(B, M)).astype(np.float32)
+
+    scan_fn = jax.vmap(
+        _partial(_dense_viterbi_scan, frame_sampling=S, max_len=max_len,
+                 n_max=n_max, l_max=l_max)
+    )
+    s_score, s_bestl, s_bps, s_kv = scan_fn(
+        jnp.asarray(log_probs), jnp.asarray(t_valid),
+        jnp.asarray(transcripts), jnp.asarray(n_valid), jnp.asarray(lambdas)
+    )
+
+    pre = jax.vmap(
+        _partial(viterbi_precompute, frame_sampling=S, max_len=max_len,
+                 l_max=l_max)
+    )
+    W, pois, k_valid = pre(
+        jnp.asarray(log_probs), jnp.asarray(t_valid),
+        jnp.asarray(transcripts), jnp.asarray(lambdas)
+    )
+    p_score, p_bestl, p_bps = dense_viterbi_pallas_batched(
+        W, pois, k_valid, jnp.asarray(n_valid),
+        frame_sampling=S, max_len=max_len, interpret=True,
+    )
+
+    np.testing.assert_allclose(np.asarray(p_score), np.asarray(s_score),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(p_bestl), np.asarray(s_bestl))
+    for b in range(B):
+        kv = int(np.asarray(s_kv)[b])
+        np.testing.assert_array_equal(
+            np.asarray(p_bps)[b, : kv - 1, 1:],
+            np.asarray(s_bps)[b, : kv - 1, 1:],
+        )
+
+
 def test_fused_eval_with_pallas_viterbi_matches():
     from mucon_tpu.data import collate_padded
     from mucon_tpu.models import batch_to_arrays, create_model
