@@ -121,13 +121,24 @@ def build_fused_eval(model, teacher_forcing: bool, frame_sampling: int,
                 viterbi_batched_vmem_bytes,
             )
 
+            from mucon_tpu.models.routing import log_route
+
             Bv, Kv, Nv = W.shape
             # whole-batch program (one K-step chain of [B*N]-wide vector
             # work) when its footprint fits VMEM; per-video grid otherwise
-            if viterbi_batched_vmem_bytes(Bv, Kv, Nv, l_max) <= 14 << 20:
+            vmem = viterbi_batched_vmem_bytes(Bv, Kv, Nv, l_max)
+            if vmem <= 14 << 20:
                 vit_fn = dense_viterbi_pallas_batched
+                log_route(
+                    f"viterbi DP B={Bv} K={Kv} N={Nv}: whole-batch Pallas "
+                    f"program ({vmem >> 20} MB VMEM)"
+                )
             else:
                 vit_fn = dense_viterbi_pallas
+                log_route(
+                    f"viterbi DP B={Bv} K={Kv} N={Nv}: per-video grid "
+                    f"kernel (batched footprint {vmem >> 20} MB > 14 MB)"
+                )
             score, best_l, bps = vit_fn(
                 W, pois, k_valid, n_dec,
                 frame_sampling=S, max_len=max_len,

@@ -1,11 +1,24 @@
-"""Dense single-transcript Viterbi DP as a single Pallas TPU kernel.
+"""Dense single-transcript Viterbi DP as Pallas TPU kernels.
+
+Two formulations (reference DP: /root/reference/src/core/viterbi/viterbi.py,
+dense-space derivation in mucon_tpu/ops/viterbi.py):
+
+- `dense_viterbi_pallas_batched` (the routed default): the WHOLE batch in
+  one program — state [L x B*N] with batch rows on lanes, so each of the
+  K sequential window steps does B*N-lane vector work.  8.65x faster than
+  the grid version at B=128 on v5e (round-5 probe).
+- `dense_viterbi_pallas` (grid): one program per video, [N x L] state in
+  VMEM scratch.  Kept as the fallback when the batched footprint exceeds
+  VMEM, and as the small-B path.
 
 The lax.scan formulation (mucon_tpu/ops/viterbi.py) dispatches K ~ T/30
-tiny [N x L] updates through XLA's loop machinery; this kernel runs the
-whole DP in ONE program per video: the [N_max x L_max] score table lives in
-VMEM scratch, the window loop is an in-kernel `fori_loop`, and only the
-backpointers stream out to HBM.  State is ~8 KB, far under VMEM; the
-per-window work is pure VPU max/add.
+tiny [N x L] updates through XLA's loop machinery; the grid kernel runs
+the whole DP in ONE program per video: the [N_max x L_max] score table
+lives in VMEM scratch, the window loop is an in-kernel `fori_loop`, and
+only the backpointers stream out to HBM.  State is ~8 KB, far under VMEM;
+the per-window work is pure VPU max/add — which is exactly why the grid
+serializes: B latency-bound programs of tiny tiles (the round-1 lesson,
+measured again here at 3.34 ms/batch vs 0.39 batched).
 
 Inputs are the same precomputed tensors the scan version uses:
   W    [K x N_max]    per-window per-position frame scores
