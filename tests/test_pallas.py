@@ -168,6 +168,23 @@ def test_viterbi_pallas_kernel_matches_scan():
         )
 
 
+def test_viterbi_batched_gate_routes_bench_shape():
+    # the whole-batch DP program must stay routed at the bench/eval
+    # shapes (8.65x measured on v5e); the grid fallback only engages
+    # past the 14 MB VMEM gate
+    from mucon_tpu.ops.viterbi_pallas import viterbi_batched_vmem_bytes
+
+    gate = 14 << 20
+    # bench eval: B=128, Tpad=2560, S=30 -> K=85; n_max=30, l_max=66
+    assert viterbi_batched_vmem_bytes(128, 85, 30, 66) <= gate
+    # 10k-frame eval: B=32, T=10240 -> K=341
+    assert viterbi_batched_vmem_bytes(32, 341, 30, 66) <= gate
+    # tiny CPU/interpret shapes
+    assert viterbi_batched_vmem_bytes(4, 30, 6, 66) <= gate
+    # a genuinely oversized batch falls back to the per-video grid
+    assert viterbi_batched_vmem_bytes(1024, 341, 30, 66) > gate
+
+
 def test_viterbi_pallas_batched_matches_scan():
     from functools import partial as _partial
     from mucon_tpu.ops.viterbi import (
